@@ -140,20 +140,26 @@ def parse_structured(cls, cfg: Optional[dict] = None):
     - ``'???'`` values (or missing required fields) raise if still unset
     - nested dataclass fields recurse
     """
+    import typing
+
     cfg = dict(cfg or {})
     if not is_dataclass(cls):
         raise TypeError(f"{cls} is not a dataclass")
     kwargs = {}
     known = {f.name: f for f in fields(cls)}
+    try:
+        hints = typing.get_type_hints(cls)
+    except Exception:
+        hints = {}
     for key, val in cfg.items():
         if key not in known:
             raise ValueError(
                 f"unknown config key '{key}' for {cls.__name__}; "
                 f"known keys: {sorted(known.keys())}"
             )
-        f = known[key]
-        if is_dataclass(f.type) and isinstance(val, dict):
-            val = parse_structured(f.type, val)
+        ftype = hints.get(key, known[key].type)
+        if is_dataclass(ftype) and isinstance(val, dict):
+            val = parse_structured(ftype, val)
         kwargs[key] = val
     inst = cls(**kwargs)
     for f in fields(cls):
