@@ -1,0 +1,307 @@
+"""Skip-link BVH: host-side build, stackless vectorized device traversal.
+
+TPU-native replacement for the reference's CUDA ``_raytracing`` BVH
+(/root/reference/threestudio_dreammat/threestudio/models/renderers/
+raytracing_renderer.py:18-67). Design:
+
+- the BVH is built ONCE per mesh on the host (binned median split) and
+  flattened in DFS order with *skip links*: for node ``i`` the hit-link is
+  implicitly ``i+1`` (its first child) and ``miss[i]`` jumps past its
+  subtree. Traversal is then a single ``while`` loop with one live register
+  (the current node index) per ray — no per-ray stacks, no scatter — which
+  vectorizes cleanly over thousands of rays on the VPU.
+- leaves hold up to ``LEAF_SIZE`` triangles stored contiguously (SoA:
+  v0 / e1 / e2), tested with a masked Möller–Trumbore batch.
+
+Miss semantics match the reference (raytracing_renderer.py:318-324):
+``depth >= 10`` means miss; hit positions/normals are only valid for hits.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LEAF_SIZE = 4
+MISS_DEPTH = 10.0
+
+
+class FlatBVH(NamedTuple):
+    """Device-side flat BVH (all arrays static-shaped)."""
+
+    node_min: jnp.ndarray   # [N,3] f32
+    node_max: jnp.ndarray   # [N,3] f32
+    node_miss: jnp.ndarray  # [N] i32, node index after this subtree (-1 = done)
+    node_first: jnp.ndarray  # [N] i32, first tri slot for leaves (0 for internal)
+    node_count: jnp.ndarray  # [N] i32, tri count for leaves (0 = internal)
+    tri_v0: jnp.ndarray     # [T,3] f32 (T = padded reordered tris)
+    tri_e1: jnp.ndarray     # [T,3]
+    tri_e2: jnp.ndarray     # [T,3]
+    tri_id: jnp.ndarray     # [T] i32 original face index (-1 = padding)
+
+
+def build_bvh(vertices: np.ndarray, faces: np.ndarray) -> FlatBVH:
+    """Host-side BVH build (median split on the largest centroid axis)."""
+    vertices = np.asarray(vertices, dtype=np.float32)
+    faces = np.asarray(faces, dtype=np.int64)
+    F = faces.shape[0]
+    v0 = vertices[faces[:, 0]]
+    v1 = vertices[faces[:, 1]]
+    v2 = vertices[faces[:, 2]]
+    tri_min = np.minimum(np.minimum(v0, v1), v2)
+    tri_max = np.maximum(np.maximum(v0, v1), v2)
+    centroids = (tri_min + tri_max) * 0.5
+
+    # iterative build producing a DFS-ordered node list
+    nodes = []  # (min, max, first_or_child, count, parent_slot_for_miss)
+
+    order = np.arange(F)
+    out_tris: list = []
+
+    def emit(tri_idx: np.ndarray) -> int:
+        """Append nodes for this set; return index of the created node."""
+        my = len(nodes)
+        bmin = tri_min[tri_idx].min(axis=0)
+        bmax = tri_max[tri_idx].max(axis=0)
+        if len(tri_idx) <= LEAF_SIZE:
+            first = len(out_tris)
+            out_tris.extend(tri_idx.tolist())
+            nodes.append([bmin, bmax, first, len(tri_idx), -1])
+            return my
+        nodes.append([bmin, bmax, 0, 0, -1])
+        c = centroids[tri_idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        med = np.median(c[:, axis])
+        left_mask = c[:, axis] <= med
+        if left_mask.all() or not left_mask.any():
+            half = len(tri_idx) // 2
+            ordering = np.argsort(c[:, axis], kind="stable")
+            left_idx, right_idx = tri_idx[ordering[:half]], tri_idx[ordering[half:]]
+        else:
+            left_idx, right_idx = tri_idx[left_mask], tri_idx[~left_mask]
+        emit(left_idx)
+        emit(right_idx)
+        return my
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10000 + 2 * F))
+    try:
+        emit(order)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    N = len(nodes)
+    node_min = np.stack([n[0] for n in nodes])
+    node_max = np.stack([n[1] for n in nodes])
+    node_first = np.array([n[2] for n in nodes], dtype=np.int32)
+    node_count = np.array([n[3] for n in nodes], dtype=np.int32)
+
+    # miss links: for DFS order, miss[i] = index just past i's subtree.
+    # compute subtree extents by simulating the DFS with an explicit stack.
+    subtree_end = np.zeros(N, dtype=np.int32)
+
+    def compute_end(i: int) -> int:
+        if node_count[i] > 0:
+            subtree_end[i] = i + 1
+            return i + 1
+        l_end = compute_end(i + 1)
+        r_end = compute_end(l_end)
+        subtree_end[i] = r_end
+        return r_end
+
+    sys.setrecursionlimit(max(old_limit, 10000 + 2 * N))
+    try:
+        compute_end(0)
+    finally:
+        sys.setrecursionlimit(old_limit)
+    node_miss = np.where(subtree_end >= N, -1, subtree_end).astype(np.int32)
+
+    # reordered triangle SoA, padded to a multiple of LEAF_SIZE
+    out = np.asarray(out_tris, dtype=np.int64)
+    T = int(np.ceil(max(len(out), 1) / LEAF_SIZE) * LEAF_SIZE)
+    pad = T - len(out)
+    tv0 = np.concatenate([v0[out], np.zeros((pad, 3), np.float32)])
+    te1 = np.concatenate([(v1 - v0)[out], np.zeros((pad, 3), np.float32)])
+    te2 = np.concatenate([(v2 - v0)[out], np.zeros((pad, 3), np.float32)])
+    tid = np.concatenate([out.astype(np.int32), -np.ones(pad, np.int32)])
+
+    return FlatBVH(
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        node_miss=jnp.asarray(node_miss),
+        node_first=jnp.asarray(node_first),
+        node_count=jnp.asarray(node_count),
+        tri_v0=jnp.asarray(tv0),
+        tri_e1=jnp.asarray(te1),
+        tri_e2=jnp.asarray(te2),
+        tri_id=jnp.asarray(tid),
+    )
+
+
+# ---------------------------------------------------------------------------
+# device traversal
+# ---------------------------------------------------------------------------
+
+def _ray_aabb(o, inv_d, bmin, bmax, t_best):
+    """Slab test; returns bool hit given current best t."""
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    tmin = jnp.minimum(t0, t1).max(axis=-1)
+    tmax = jnp.maximum(t0, t1).min(axis=-1)
+    return (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_best)
+
+
+def _tri_hits(o, d, v0, e1, e2, eps=1e-9):
+    """Möller–Trumbore for a [R, L] batch of triangles per ray.
+    o,d: [R,3]; v0,e1,e2: [R,L,3]. Returns (t, u, v, valid)."""
+    d_ = d[:, None, :]
+    o_ = o[:, None, :]
+    pvec = jnp.cross(d_, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
+    tvec = o_ - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d_ * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    valid = (
+        (jnp.abs(det) > eps)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > 1e-6)
+    )
+    return t, u, v, valid
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def cast_rays(
+    bvh: FlatBVH,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t_max: float = MISS_DEPTH,
+    max_iters: int = 20000,
+):
+    """First-hit ray cast. Returns dict with t [R], face [R] (-1 miss),
+    bary u,v [R], hit [R] bool. Fully vectorized over rays; terminates when
+    every ray has walked off the tree."""
+    R = rays_o.shape[0]
+    o = rays_o.astype(jnp.float32)
+    d = rays_d.astype(jnp.float32)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+
+    cur = jnp.zeros((R,), dtype=jnp.int32)
+    t_best = jnp.full((R,), t_max, dtype=jnp.float32)
+    face_best = jnp.full((R,), -1, dtype=jnp.int32)
+    u_best = jnp.zeros((R,), dtype=jnp.float32)
+    v_best = jnp.zeros((R,), dtype=jnp.float32)
+
+    def cond(state):
+        cur, *_ = state
+        return jnp.any(cur >= 0)
+
+    def body(state):
+        cur, t_best, face_best, u_best, v_best, it = state
+        safe = jnp.maximum(cur, 0)
+        bmin = bvh.node_min[safe]
+        bmax = bvh.node_max[safe]
+        miss_link = bvh.node_miss[safe]
+        first = bvh.node_first[safe]
+        count = bvh.node_count[safe]
+        active = cur >= 0
+
+        aabb_hit = _ray_aabb(o, inv_d, bmin, bmax, t_best) & active
+        is_leaf = (count > 0) & aabb_hit
+
+        # masked leaf triangle tests (LEAF_SIZE fixed)
+        slots = first[:, None] + jnp.arange(LEAF_SIZE, dtype=jnp.int32)[None, :]
+        lane_ok = jnp.arange(LEAF_SIZE, dtype=jnp.int32)[None, :] < count[:, None]
+        slots = jnp.where(lane_ok & is_leaf[:, None], slots, 0)
+        tv0 = bvh.tri_v0[slots]
+        te1 = bvh.tri_e1[slots]
+        te2 = bvh.tri_e2[slots]
+        tid = bvh.tri_id[slots]
+        t, u, v, valid = _tri_hits(o, d, tv0, te1, te2)
+        valid = valid & lane_ok & is_leaf[:, None] & (t < t_best[:, None])
+        t_masked = jnp.where(valid, t, jnp.inf)
+        lane = jnp.argmin(t_masked, axis=-1)
+        t_lane = jnp.take_along_axis(t_masked, lane[:, None], axis=-1)[:, 0]
+        improved = jnp.isfinite(t_lane)
+        sel = lambda arr: jnp.take_along_axis(arr, lane[:, None], axis=-1)[:, 0]
+        t_best = jnp.where(improved, t_lane, t_best)
+        face_best = jnp.where(improved, sel(tid), face_best)
+        u_best = jnp.where(improved, sel(u), u_best)
+        v_best = jnp.where(improved, sel(v), v_best)
+
+        descend = aabb_hit & (count == 0)
+        nxt = jnp.where(descend, cur + 1, miss_link)
+        nxt = jnp.where(active, nxt, -1)
+        return nxt, t_best, face_best, u_best, v_best, it + 1
+
+    cur, t_best, face_best, u_best, v_best, _ = jax.lax.while_loop(
+        cond, body, (cur, t_best, face_best, u_best, v_best, jnp.int32(0))
+    )
+    hit = face_best >= 0
+    return {
+        "t": jnp.where(hit, t_best, MISS_DEPTH),
+        "face": face_best,
+        "u": u_best,
+        "v": v_best,
+        "hit": hit,
+    }
+
+
+def cast_rays_chunked(bvh: FlatBVH, rays_o, rays_d, chunk: int = 1 << 16, t_max: float = MISS_DEPTH):
+    """Map cast_rays over fixed-size chunks to bound memory for huge ray sets."""
+    R = rays_o.shape[0]
+    pad = (-R) % chunk
+    if pad:
+        rays_o = jnp.concatenate([rays_o, jnp.zeros((pad, 3), rays_o.dtype)])
+        rays_d = jnp.concatenate([rays_d, jnp.ones((pad, 3), rays_d.dtype)])
+    ro = rays_o.reshape(-1, chunk, 3)
+    rd = rays_d.reshape(-1, chunk, 3)
+    out = jax.lax.map(lambda ab: cast_rays(bvh, ab[0], ab[1], t_max=t_max), (ro, rd))
+    out = jax.tree_util.tree_map(lambda x: x.reshape(-1, *x.shape[2:])[:R], out)
+    return out
+
+
+def occlusion_rays(bvh: FlatBVH, rays_o, rays_d, t_max: float = MISS_DEPTH):
+    """Any-hit style occlusion query (uses first-hit traversal; a hit closer
+    than t_max means occluded). Returns bool [R]."""
+    return cast_rays(bvh, rays_o, rays_d, t_max=t_max)["hit"]
+
+
+# ---------------------------------------------------------------------------
+# brute-force reference (for tests)
+# ---------------------------------------------------------------------------
+
+def cast_rays_bruteforce(vertices, faces, rays_o, rays_d, t_max: float = MISS_DEPTH):
+    v = jnp.asarray(vertices)
+    f = jnp.asarray(faces)
+    v0 = v[f[:, 0]]
+    e1 = v[f[:, 1]] - v0
+    e2 = v[f[:, 2]] - v0
+    R = rays_o.shape[0]
+    F = f.shape[0]
+    t, u, vv, valid = _tri_hits(
+        jnp.asarray(rays_o), jnp.asarray(rays_d),
+        jnp.broadcast_to(v0, (R, F, 3)),
+        jnp.broadcast_to(e1, (R, F, 3)),
+        jnp.broadcast_to(e2, (R, F, 3)),
+    )
+    t = jnp.where(valid & (t < t_max), t, jnp.inf)
+    idx = jnp.argmin(t, axis=-1)
+    tbest = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+    hit = jnp.isfinite(tbest)
+    return {
+        "t": jnp.where(hit, tbest, MISS_DEPTH),
+        "face": jnp.where(hit, idx.astype(jnp.int32), -1),
+        "u": jnp.take_along_axis(u, idx[:, None], axis=-1)[:, 0],
+        "v": jnp.take_along_axis(vv, idx[:, None], axis=-1)[:, 0],
+        "hit": hit,
+    }
