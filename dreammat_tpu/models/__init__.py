@@ -1,0 +1,7 @@
+"""Built-in model components (import side-effect: registry population)."""
+
+from dreammat_tpu.models import background  # noqa: F401
+from dreammat_tpu.models import geometry  # noqa: F401
+from dreammat_tpu.models import material  # noqa: F401
+from dreammat_tpu.models import renderer  # noqa: F401
+from dreammat_tpu.models import mesh  # noqa: F401
