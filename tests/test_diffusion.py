@@ -1,0 +1,135 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreammat_tpu.models.diffusion.clip_text import CLIPTextConfig, CLIPTextModel
+from dreammat_tpu.models.diffusion.controlnet import ControlNet, ControlNetConfig
+from dreammat_tpu.models.diffusion.scheduler import (
+    SchedulerConfig,
+    add_noise,
+    ddim_step,
+    ddim_timesteps,
+    make_schedule,
+    pred_x0_from_eps,
+)
+from dreammat_tpu.models.diffusion.tokenizer import CLIPTokenizer
+from dreammat_tpu.models.diffusion.unet import UNet2DCondition, UNetConfig
+from dreammat_tpu.models.diffusion.vae import AutoencoderKL, VAEConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    cfg = UNetConfig.tiny()
+    model = UNet2DCondition(cfg)
+    B, H, W = 2, 8, 8
+    sample = jnp.zeros((B, H, W, 4))
+    t = jnp.asarray([10, 500])
+    ctx = jnp.zeros((B, 16, cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), sample, t, ctx)
+    return cfg, model, params
+
+
+def test_unet_forward_shape(tiny_unet):
+    cfg, model, params = tiny_unet
+    B, H, W = 2, 8, 8
+    sample = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, 16, cfg.cross_attention_dim))
+    out = model.apply(params, sample, jnp.asarray([1, 2]), ctx)
+    assert out.shape == (B, H, W, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # conv_out is zero-init: output must be exactly 0 at init
+    assert np.allclose(np.asarray(out), 0.0)
+
+
+def test_controlnet_residuals_inject(tiny_unet):
+    ucfg, unet, uparams = tiny_unet
+    ccfg = ControlNetConfig(unet=ucfg, conditioning_channels=22,
+                            conditioning_embedding_channels=(8, 16))
+    cnet = ControlNet(ccfg)
+    B, H, W = 2, 8, 8
+    sample = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 4))
+    t = jnp.asarray([3, 4])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, 16, ucfg.cross_attention_dim))
+    # condition at image resolution = 8x latent (two downsamples in tiny stem)
+    cond = jax.random.normal(jax.random.PRNGKey(3), (B, H * 2, W * 2, 22))
+    cparams = cnet.init(jax.random.PRNGKey(4), sample, t, ctx, cond)
+    down, mid = cnet.apply(cparams, sample, t, ctx, cond, 1.0)
+    # residual count = 1 (conv_in) + per-block outputs
+    assert len(down) == 1 + ucfg.layers_per_block * len(ucfg.block_out_channels) + (
+        len(ucfg.block_out_channels) - 1
+    )
+    # zero-init output convs -> residuals are 0 at init
+    assert all(np.allclose(np.asarray(d), 0.0) for d in down)
+    assert np.allclose(np.asarray(mid), 0.0)
+    # UNet accepts them
+    out = unet.apply(uparams, sample, t, ctx,
+                     down_block_additional_residuals=down,
+                     mid_block_additional_residual=mid)
+    assert out.shape == (B, H, W, 4)
+
+
+def test_vae_roundtrip_shapes():
+    cfg = VAEConfig.tiny()
+    vae = AutoencoderKL(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    params = vae.init(jax.random.PRNGKey(1), x)
+    z = vae.apply(params, x, method=vae.encode)
+    # one downsample in tiny cfg -> 16 -> 8
+    assert z.shape == (1, 8, 8, 4)
+    y = vae.apply(params, z, method=vae.decode)
+    assert y.shape == (1, 16, 16, 3)
+    mean, logvar = vae.apply(params, x, method=vae.encode_moments)
+    assert mean.shape == z.shape and logvar.shape == z.shape
+
+
+def test_clip_text_shapes():
+    cfg = CLIPTextConfig.tiny()
+    model = CLIPTextModel(cfg)
+    ids = jnp.zeros((2, cfg.max_length), dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    out = model.apply(params, ids)
+    assert out.shape == (2, cfg.max_length, cfg.hidden_size)
+
+
+def test_scheduler_matches_closed_form():
+    sched = make_schedule(SchedulerConfig())
+    ac = np.asarray(sched["alphas_cumprod"])
+    assert ac.shape == (1000,)
+    assert 0 < ac[-1] < ac[0] < 1
+    x0 = jnp.ones((2, 4, 4, 1))
+    eps = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    t = jnp.asarray([100, 900])
+    xt = add_noise(sched, x0, eps, t)
+    x0_rec = pred_x0_from_eps(sched, xt, eps, t)
+    assert np.allclose(np.asarray(x0_rec), np.asarray(x0), atol=1e-4)
+
+
+def test_ddim_full_denoise_recovers_x0():
+    """With a perfect eps oracle, DDIM must walk back to x0."""
+    sched = make_schedule(SchedulerConfig())
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 1))
+    eps = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    ts = ddim_timesteps(1000, 50)
+    t0 = jnp.asarray([int(ts[0])])
+    xt = add_noise(sched, x0, eps, t0)
+    for i, t in enumerate(ts):
+        t_prev = int(ts[i + 1]) if i + 1 < len(ts) else -1
+        # oracle eps at this t from the known x0
+        a = sched["alphas_cumprod"][t]
+        eps_hat = (xt - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+        xt = ddim_step(sched, xt, eps_hat, jnp.asarray([t]), jnp.asarray([t_prev]))
+    assert np.allclose(np.asarray(xt), np.asarray(x0), atol=1e-3)
+
+
+def test_tokenizer_fallback():
+    tok = CLIPTokenizer(vocab_dir=None, max_length=16)
+    ids = tok("a photo of a red apple")
+    assert ids.shape == (16,)
+    assert ids.dtype == np.int32
+    # deterministic
+    assert np.array_equal(ids, tok("a photo of a red apple"))
+    # different prompts differ
+    assert not np.array_equal(ids, tok("a blue car"))
+    b = tok.batch(["a", "b"])
+    assert b.shape == (2, 16)
