@@ -1,0 +1,182 @@
+"""Weight conversion: diffusers/transformers torch checkpoints <-> Flax params.
+
+Lets users bring the exact SD2.1 + geometry/light ControlNet weights the
+reference uses (README.md:24 expects the ControlNet at ``model/controlnet``)
+onto TPU, and export ControlNets trained here back into diffusers layout.
+
+Conventions converted:
+- Conv2d  torch [out,in,kh,kw]  <-> flax [kh,kw,in,out]
+- Linear  torch [out,in]        <-> flax [in,out]
+- Norms   weight/bias           <-> scale/bias
+- Embed   weight                <-> embedding
+plus the name-mangling between our flat module names (``down_blocks_0``)
+and diffusers' dotted ones (``down_blocks.0``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# names where diffusers itself uses an underscore+digit (do NOT dot-ify)
+_PROTECTED = ("linear_1", "linear_2", "to_out_0_x")  # to_out handled below
+
+
+def _flax_path_to_torch_key(path: Tuple[str, ...], model_type: str) -> str:
+    *mods, leaf = path
+    name = ".".join(mods)
+    # protect diffusers' literal underscore names
+    name = name.replace("linear_1", "linear<1>").replace("linear_2", "linear<2>")
+    name = re.sub(r"_(\d+)", r".\1", name)
+    name = name.replace("linear<1>", "linear_1").replace("linear<2>", "linear_2")
+    name = name.replace(".0_proj", ".0.proj")  # ff.net_0_proj -> ff.net.0.proj
+    if model_type == "clip":
+        name = _clip_rename(name)
+
+    if leaf == "kernel":
+        suffix = "weight"
+    elif leaf == "scale":
+        suffix = "weight"
+    elif leaf == "embedding":
+        suffix = "weight"
+    else:
+        suffix = leaf  # bias
+    if name == "" :
+        return suffix
+    return f"{name}.{suffix}"
+
+
+def _clip_rename(name: str) -> str:
+    if name.startswith("token_embedding"):
+        return "text_model.embeddings." + name
+    if name.startswith("position_embedding"):
+        return "text_model.embeddings." + name
+    if name == "final_layer_norm":
+        return "text_model.final_layer_norm"
+    m = re.match(r"layers\.(\d+)\.(.*)", name)
+    if m:
+        idx, rest = m.group(1), m.group(2)
+        if rest in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            rest = "self_attn." + rest
+        elif rest in ("fc1", "fc2"):
+            rest = "mlp." + rest
+        return f"text_model.encoder.layers.{idx}.{rest}"
+    return name
+
+
+def _to_torch_array(leaf_name: str, value: np.ndarray) -> np.ndarray:
+    if leaf_name == "kernel":
+        if value.ndim == 4:  # conv: HWIO -> OIHW
+            return np.transpose(value, (3, 2, 0, 1))
+        if value.ndim == 2:  # dense: IO -> OI
+            return np.transpose(value)
+    return value
+
+
+def _to_flax_array(leaf_name: str, flax_shape, value: np.ndarray) -> np.ndarray:
+    if leaf_name == "kernel":
+        if len(flax_shape) == 4:
+            return np.transpose(value, (2, 3, 1, 0))
+        if len(flax_shape) == 2:
+            return np.transpose(value)
+    return value.reshape(flax_shape)
+
+
+# special-case fallbacks: older diffusers VAE attention naming
+_VAE_ATTN_ALIASES = {
+    "to_q": "query", "to_k": "key", "to_v": "value", "to_out.0": "proj_attn",
+}
+
+
+def _lookup(sd: Dict[str, np.ndarray], key: str) -> Optional[np.ndarray]:
+    if key in sd:
+        return sd[key]
+    for new, old in _VAE_ATTN_ALIASES.items():
+        if new in key:
+            k2 = key.replace(new, old)
+            if k2 in sd:
+                return sd[k2]
+    # CLIP: position embedding may lack trailing .weight in some exports
+    if key.endswith("position_embedding.weight") and key[: -len(".weight")] in sd:
+        return sd[key[: -len(".weight")]]
+    return None
+
+
+def torch_to_flax_params(
+    state_dict: Dict[str, Any],
+    flax_params: Dict[str, Any],
+    model_type: str = "unet",
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Fill a flax param tree (template, e.g. from ``model.init``) with
+    weights from a torch state dict. model_type in {unet, controlnet, vae, clip}."""
+    sd = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in state_dict.items()
+    }
+    used = set()
+    missing = []
+
+    flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
+    treedef = jax.tree_util.tree_structure(flax_params)
+    new_leaves = []
+    for path, leaf in flat:
+        keys = tuple(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+        if keys and keys[0] == "params":
+            keys = keys[1:]
+        tkey = _flax_path_to_torch_key(keys, model_type)
+        val = _lookup(sd, tkey)
+        if val is None:
+            missing.append(tkey)
+            new_leaves.append(leaf)
+            continue
+        used.add(tkey)
+        arr = _to_flax_array(keys[-1], np.shape(leaf), val)
+        if tuple(arr.shape) != tuple(np.shape(leaf)):
+            raise ValueError(f"shape mismatch for {tkey}: {arr.shape} vs {np.shape(leaf)}")
+        new_leaves.append(jnp.asarray(arr, dtype=jnp.asarray(leaf).dtype))
+    if missing and strict:
+        raise KeyError(f"missing {len(missing)} torch keys, e.g. {missing[:8]}")
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def flax_to_torch_state_dict(flax_params: Dict[str, Any], model_type: str = "unet") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
+    for path, leaf in flat:
+        keys = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+        if keys and keys[0] == "params":
+            keys = keys[1:]
+        tkey = _flax_path_to_torch_key(keys, model_type)
+        out[tkey] = _to_torch_array(keys[-1], np.asarray(leaf))
+    return out
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .bin/.pt (torch.load) or .safetensors checkpoint file."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def find_checkpoint_file(model_dir: str, names=("diffusion_pytorch_model", "model", "pytorch_model")) -> Optional[str]:
+    for n in names:
+        for ext in (".safetensors", ".bin", ".pt"):
+            p = os.path.join(model_dir, n + ext)
+            if os.path.exists(p):
+                return p
+    return None
