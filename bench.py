@@ -1,0 +1,108 @@
+"""Benchmark: CSD denoise throughput on one chip.
+
+North-star metric (BASELINE.md): UNet+ControlNet denoise steps/sec/chip —
+one DreamMat optimization step's diffusion work = 1 VAE encode (512²->64²
+latents) + 3x (ControlNet + UNet) forward at 64² latents in bf16
+(reference budget: dreammat_guidance.py:407,342 + configs/dreammat.yaml).
+
+Baseline: the reference runs 3000-4000 such steps in roughly 1.5-2 h on an
+RTX 4090 (~0.6 steps/s implied, BASELINE.md "implied wall-clock"); the
+renderer side is excluded here on both sides (theirs overlaps shading).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_STEPS_PER_SEC = 0.6  # implied 4090 reference throughput (see above)
+
+
+def main():
+    small = "--small" in sys.argv or os.environ.get("BENCH_SMALL") == "1"
+    import jax
+    import jax.numpy as jnp
+
+    from dreammat_tpu.models.diffusion.controlnet import ControlNet, ControlNetConfig
+    from dreammat_tpu.models.diffusion.scheduler import SchedulerConfig, add_noise, make_schedule
+    from dreammat_tpu.models.diffusion.unet import UNet2DCondition, UNetConfig
+    from dreammat_tpu.models.diffusion.vae import AutoencoderKL, VAEConfig
+
+    if small:
+        ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+        H = 32
+        ccfg = ControlNetConfig(unet=ucfg, conditioning_channels=22,
+                                conditioning_embedding_channels=(16, 32))
+        ctx_len, ctx_dim = 16, ucfg.cross_attention_dim
+    else:
+        ucfg, vcfg = UNetConfig.sd21(), VAEConfig.sd()
+        H = 512
+        ccfg = ControlNetConfig(unet=ucfg, conditioning_channels=22)
+        ctx_len, ctx_dim = 77, 1024
+
+    dtype = jnp.bfloat16
+    unet = UNet2DCondition(ucfg, dtype=dtype)
+    vae = AutoencoderKL(vcfg, dtype=dtype)
+    cnet = ControlNet(ccfg, dtype=dtype)
+    f = 2 ** (len(vcfg.block_out_channels) - 1)
+    lat = H // f
+
+    # weights: zeros via eval_shape (timing is data-independent on the MXU;
+    # avoids minutes of host-side RNG for ~1.2B params)
+    sample = jnp.zeros((3, lat, lat, 4))
+    t = jnp.zeros((3,))
+    ctx = jnp.zeros((3, ctx_len, ctx_dim))
+    cond = jnp.zeros((3, H, H, 22))
+    rgb = jnp.zeros((1, H, H, 3))
+
+    def zeros_like_tree(shapes):
+        return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    up = zeros_like_tree(jax.eval_shape(lambda: unet.init(jax.random.PRNGKey(0), sample, t, ctx)))
+    vp = zeros_like_tree(jax.eval_shape(lambda: vae.init(jax.random.PRNGKey(0), rgb)))
+    cp = zeros_like_tree(jax.eval_shape(lambda: cnet.init(jax.random.PRNGKey(0), sample, t, ctx, cond)))
+
+    sched = make_schedule(SchedulerConfig())
+
+    @jax.jit
+    def denoise_step(up, vp, cp, rgb, cond1, ctx, rng):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        latents = vae.apply(vp, rgb * 2 - 1, k1, method=vae.encode).astype(jnp.float32)
+        tt = jax.random.randint(k2, (1,), 20, 980)
+        noise = jax.random.normal(k3, latents.shape)
+        noisy = add_noise(sched, latents, noise, tt)
+        lat3 = jnp.concatenate([noisy] * 3, axis=0)
+        t3 = jnp.concatenate([tt] * 3, axis=0)
+        c3 = jnp.concatenate([cond1] * 3, axis=0)
+        down, mid = cnet.apply(cp, lat3, t3, ctx, c3, 1.0)
+        eps = unet.apply(up, lat3, t3, ctx,
+                         down_block_additional_residuals=down,
+                         mid_block_additional_residual=mid)
+        return jnp.sum(eps)
+
+    rgb_in = jnp.full((1, H, H, 3), 0.5)
+    cond_in = jnp.full((1, H, H, 22), 0.5)
+    ctx_in = jnp.zeros((3, ctx_len, ctx_dim))
+
+    # warmup / compile
+    denoise_step(up, vp, cp, rgb_in, cond_in, ctx_in, jax.random.PRNGKey(0)).block_until_ready()
+    n_iters = 3 if small else 20
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = denoise_step(up, vp, cp, rgb_in, cond_in, ctx_in, jax.random.PRNGKey(i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_iters / dt
+
+    print(json.dumps({
+        "metric": "csd_denoise_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

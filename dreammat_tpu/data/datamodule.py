@@ -1,0 +1,151 @@
+"""Data module: fixed-camera training batches + eval trajectories.
+
+Rebuild of ``RandomCameraDataModule`` / ``FixCameraIterableDataset``
+(/root/reference/threestudio_dreammat/threestudio/data/uncond.py:340-1003):
+fixed random cameras with precomputed condition maps, per-step random
+(view, env) pairing, 22-channel condition stack (depth 1 + normal 3 +
+probes 18, uncond.py:799-802), and the circular eval/test camera set.
+
+Random (view, env) selection happens with explicit numpy RNG on the host —
+the per-step device work receives only the selected slices, so batches are
+fixed-shape pytrees ready for the jitted train step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+import dreammat_tpu
+from dreammat_tpu.data import cameras as cam_lib
+from dreammat_tpu.data import prerender as prerender_lib
+from dreammat_tpu.utils.base import BaseObject
+
+
+@dreammat_tpu.register("random-camera-datamodule")
+class RandomCameraDataModule(BaseObject):
+    @dataclass
+    class Config:
+        batch_size: int = 1
+        width: int = 512
+        height: int = 512
+        eval_width: int = 512
+        eval_height: int = 512
+        camera_distance_range: Tuple[float, float] = (3.0, 4.0)
+        fovy_range: Tuple[float, float] = (25.0, 45.0)
+        elevation_range: Tuple[float, float] = (-20.0, 45.0)
+        azimuth_range: Tuple[float, float] = (-180.0, 180.0)
+        camera_perturb: float = 0.0
+        center_perturb: float = 0.0
+        up_perturb: float = 0.0
+        batch_uniform_azimuth: bool = True
+        eval_camera_distance: float = 4.0
+        eval_fovy_deg: float = 30.0
+        eval_elevation_deg: float = 15.0
+        n_val_views: int = 1
+        n_test_views: int = 120
+        use_fix_views: bool = True
+        blender_generate: bool = False  # parity knob; True = ingest PNG cache
+        reference_cache_dir: Optional[str] = None
+        fix_view_num: int = 128
+        fix_env_num: int = 5
+        cond_height: int = 256
+        cond_width: int = 256
+        prerender_cache_dir: Optional[str] = ".dreammat_tpu_cache/prerender"
+        prerender_seed: int = 0
+        probe_chunk: int = 4096
+        pixel_budget: int = 0
+        seed: int = 0
+
+    cfg: Config
+
+    def configure(self, renderer=None, material=None) -> None:
+        cfg = self.cfg
+        self.renderer = renderer
+        self.material = material
+        self.cameras = cam_lib.make_fixed_cameras(
+            cfg.fix_view_num,
+            elevation_range=cfg.elevation_range,
+            azimuth_range=cfg.azimuth_range,
+            camera_distance_range=cfg.camera_distance_range,
+            fovy_range=cfg.fovy_range,
+            seed=cfg.seed,
+        )
+        self.eval_cameras = cam_lib.make_eval_cameras(
+            cfg.n_test_views, cfg.eval_elevation_deg,
+            cfg.eval_camera_distance, cfg.eval_fovy_deg,
+        )
+        self.rng = np.random.RandomState(cfg.seed + 1)
+        self.data: Optional[prerender_lib.PrerenderData] = None
+
+    def setup(self) -> None:
+        """Run (or load) the prerender. Reference: dataset __init__
+        (uncond.py:692-705)."""
+        cfg = self.cfg
+        assert self.renderer is not None and self.material is not None
+        self.data = prerender_lib.prerender(
+            self.renderer, self.material, self.cameras,
+            cfg.height, cfg.width, cfg.fix_env_num,
+            seed=cfg.prerender_seed,
+            cache_dir=cfg.prerender_cache_dir,
+            cond_height=cfg.cond_height, cond_width=cfg.cond_width,
+            probe_chunk=cfg.probe_chunk,
+            pixel_budget=cfg.pixel_budget or None,
+        )
+        if cfg.blender_generate and cfg.reference_cache_dir:
+            lm, d, n = prerender_lib.load_reference_png_cache(
+                cfg.reference_cache_dir, cfg.fix_view_num, cfg.fix_env_num,
+                cfg.cond_height, cfg.cond_width,
+            )
+            self.data.lightmaps, self.data.depths, self.data.normals = lm, d, n
+            dreammat_tpu.info("ingested reference Blender cache from %s", cfg.reference_cache_dir)
+
+    # ------------------------------------------------------------------
+    def collate(self, step: int = 0) -> Dict[str, Any]:
+        """One training batch: random fixed view + random env
+        (uncond.py:723-821). batch_size=1 on the DreamMat path."""
+        assert self.data is not None, "call setup() first"
+        cfg = self.cfg
+        view_id = int(self.rng.randint(0, cfg.fix_view_num))
+        env_id = int(self.rng.randint(0, cfg.fix_env_num))
+        cond = np.concatenate(
+            [
+                self.data.depths[view_id],
+                self.data.normals[view_id],
+                self.data.lightmaps[view_id, env_id],
+            ],
+            axis=-1,
+        ).astype(np.float32)  # [h,w,22]
+        cam = self.cameras
+        return {
+            "view_id": view_id,
+            "env_id": jnp.int32(env_id),
+            "gbuffer": self.data.gbuffers[view_id],
+            "condition_map": jnp.asarray(cond)[None],  # [1,h,w,22]
+            "elevation": jnp.asarray([cam.elevation_deg[view_id]]),
+            "azimuth": jnp.asarray([cam.azimuth_deg[view_id]]),
+            "camera_distances": jnp.asarray([cam.camera_distances[view_id]]),
+            "height": cfg.height,
+            "width": cfg.width,
+        }
+
+    def eval_view(self, i: int, env_id: int = 4) -> Dict[str, Any]:
+        """Test views on the eval circle; env fixed to 4 like the reference
+        (uncond.py:926)."""
+        cfg = self.cfg
+        cd = cam_lib.camera_rays_and_matrices(
+            self.eval_cameras, i, cfg.eval_height, cfg.eval_width
+        )
+        gb = self.renderer.build_gbuffer(cd["rays_o"], cd["rays_d"], cd["w2c"])
+        return {
+            "env_id": jnp.int32(env_id),
+            "gbuffer": gb,
+            "elevation": jnp.asarray([self.eval_cameras.elevation_deg[i]]),
+            "azimuth": jnp.asarray([self.eval_cameras.azimuth_deg[i]]),
+            "camera_distances": jnp.asarray([self.eval_cameras.camera_distances[i]]),
+            "height": cfg.eval_height,
+            "width": cfg.eval_width,
+        }

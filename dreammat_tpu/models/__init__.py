@@ -5,3 +5,5 @@ from dreammat_tpu.models import geometry  # noqa: F401
 from dreammat_tpu.models import material  # noqa: F401
 from dreammat_tpu.models import renderer  # noqa: F401
 from dreammat_tpu.models import mesh  # noqa: F401
+from dreammat_tpu.models import prompt  # noqa: F401
+from dreammat_tpu.models import guidance  # noqa: F401

@@ -29,12 +29,17 @@ _PROTECTED = ("linear_1", "linear_2", "to_out_0_x")  # to_out handled below
 
 def _flax_path_to_torch_key(path: Tuple[str, ...], model_type: str) -> str:
     *mods, leaf = path
+    if model_type == "clip" and leaf == "position_embedding" and not mods:
+        return "text_model.embeddings.position_embedding.weight"
     name = ".".join(mods)
     # protect diffusers' literal underscore names
     name = name.replace("linear_1", "linear<1>").replace("linear_2", "linear<2>")
     name = re.sub(r"_(\d+)", r".\1", name)
     name = name.replace("linear<1>", "linear_1").replace("linear<2>", "linear_2")
-    name = name.replace(".0_proj", ".0.proj")  # ff.net_0_proj -> ff.net.0.proj
+    # split compound flat names: ".0_resnets" -> ".0.resnets",
+    # ".0_proj" -> ".0.proj" (ff.net), "mid_block_resnets" -> "mid_block.resnets"
+    name = re.sub(r"(\.\d+)_", r"\1.", name)
+    name = name.replace("mid_block_", "mid_block.")
     if model_type == "clip":
         name = _clip_rename(name)
 

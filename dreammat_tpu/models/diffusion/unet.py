@@ -41,11 +41,12 @@ class UNetConfig:
 
     @staticmethod
     def tiny() -> "UNetConfig":
+        # cross_attention_dim matches CLIPTextConfig.tiny().hidden_size
         return UNetConfig(
             block_out_channels=(32, 64),
             down_block_has_attn=(True, False),
             attention_head_dim=8,
-            cross_attention_dim=32,
+            cross_attention_dim=64,
             layers_per_block=1,
         )
 

@@ -1,0 +1,4 @@
+"""Systems (import side-effect: registry population)."""
+
+from dreammat_tpu.systems import dreammat  # noqa: F401
+from dreammat_tpu.systems import controlnet_trainer  # noqa: F401

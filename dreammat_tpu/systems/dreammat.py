@@ -1,0 +1,266 @@
+"""DreamMat system: composes renderer + guidance into one jitted train step.
+
+Rebuild of the reference system layer
+(/root/reference/threestudio_dreammat/threestudio/systems/dreammat.py:19-300
+and systems/base.py:21-394). Architectural stance (SURVEY §7): the whole
+per-step pipeline — field query -> MC shade -> VAE encode -> 3x
+(ControlNet+UNet) -> CSD grad -> optax update — is ONE jitted function over
+explicit pytree state; schedules evaluate inside the trace; the python loop
+only picks (view, env) and feeds fixed-shape batches.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import dreammat_tpu
+from dreammat_tpu.systems.optimizers import parse_optimizer
+from dreammat_tpu.utils import saving
+from dreammat_tpu.utils.base import BaseObject
+from dreammat_tpu.utils.ckpt import load_checkpoint, save_checkpoint
+from dreammat_tpu.utils.schedule import C, C_jax
+
+
+@dreammat_tpu.register("dreammat-system")
+class DreamMat(BaseObject):
+    @dataclass
+    class Config:
+        texture: bool = True
+        latent_steps: int = 1000
+        save_train_image: bool = True
+        save_train_image_iter: int = 1000
+        init_step: int = 0
+        init_width: int = 512
+        init_height: int = 512
+        test_background_white: bool = False
+
+        geometry_type: str = "dreammat-mesh"
+        geometry: dict = field(default_factory=dict)
+        material_type: str = "dreammat-material"
+        material: dict = field(default_factory=dict)
+        background_type: str = "solid-color-background"
+        background: dict = field(default_factory=dict)
+        renderer_type: str = "raytracing-renderer"
+        renderer: dict = field(default_factory=dict)
+        guidance_type: str = "stable-diffusion-dreammat-guidance"
+        guidance: dict = field(default_factory=dict)
+        prompt_processor_type: str = "stable-diffusion-prompt-processor"
+        prompt_processor: dict = field(default_factory=dict)
+
+        loss: dict = field(default_factory=lambda: {"lambda_sds": 1.0, "lambda_mat_reg": 1.0})
+        optimizer: dict = field(
+            default_factory=lambda: {
+                "name": "Adam",
+                "args": {"lr": 0.01, "betas": [0.9, 0.99], "eps": 1.0e-15},
+            }
+        )
+        loggers: dict = field(default_factory=dict)
+        seed: int = 0
+
+    cfg: Config
+
+    def configure(self) -> None:
+        """Assemble components (BaseLift3DSystem.configure, base.py:243-295)."""
+        import dreammat_tpu.models  # ensure registry
+
+        self.geometry = dreammat_tpu.find(self.cfg.geometry_type)(self.cfg.geometry)
+        self.material = dreammat_tpu.find(self.cfg.material_type)(self.cfg.material)
+        self.background = dreammat_tpu.find(self.cfg.background_type)(self.cfg.background)
+        self.renderer = dreammat_tpu.find(self.cfg.renderer_type)(
+            self.cfg.renderer, self.geometry, self.material, self.background
+        )
+        self.guidance = None
+        self.prompt_processor = None
+        self.prompt_utils = None
+        self._train_step_fn = None
+        self._render_fn = None
+
+    # ------------------------------------------------------------------
+    def on_fit_start(self, rng: jax.Array, latent_hw=None) -> None:
+        """Build guidance + prompt embeddings (dreammat.py:44-55)."""
+        if self.guidance is None:
+            self.guidance = dreammat_tpu.find(self.cfg.guidance_type)(self.cfg.guidance)
+            self.guidance.init_params(rng, latent_hw=latent_hw)
+        if self.prompt_processor is None:
+            self.prompt_processor = dreammat_tpu.find(self.cfg.prompt_processor_type)(
+                self.cfg.prompt_processor
+            )
+            self.prompt_utils = self.prompt_processor()
+
+    def init_state(self, rng: jax.Array) -> Dict[str, Any]:
+        geo_params = self.geometry.init(rng)
+        self.optimizer = parse_optimizer(self.cfg.optimizer)
+        opt_state = self.optimizer.init(geo_params)
+        return {"geo": geo_params, "opt": opt_state, "step": jnp.int32(0)}
+
+    # ------------------------------------------------------------------
+    def make_train_step(self):
+        """Returns jitted (state, batch, rng) -> (state, metrics)."""
+        guidance = self.guidance
+        renderer = self.renderer
+        prompt_utils = self.prompt_utils
+        loss_cfg = dict(self.cfg.loss)
+        optimizer = self.optimizer
+
+        def train_step(state, gbuffer, condition_map, env_id, elevation, azimuth,
+                       camera_distances, rng):
+            step = state["step"]
+            k_render, k_guide = jax.random.split(rng)
+
+            def loss_fn(geo_params):
+                out = renderer.shade_view(geo_params, gbuffer, env_id, k_render, is_train=True)
+                guidance_out = guidance(
+                    guidance.params,
+                    out["comp_rgb"][None],
+                    prompt_utils,
+                    elevation, azimuth, camera_distances,
+                    condition_map,
+                    step=step,
+                    rng=k_guide,
+                )
+                loss = (
+                    C_jax(loss_cfg.get("lambda_sds", 1.0), step) * guidance_out["loss_sds"]
+                    + C_jax(loss_cfg.get("lambda_mat_reg", 1.0), step) * out["loss_mat_reg"]
+                )
+                metrics = {
+                    "loss": loss,
+                    "loss_sds": guidance_out["loss_sds"],
+                    "loss_mat_reg": out["loss_mat_reg"],
+                    "grad_norm": guidance_out["grad_norm"],
+                    "min_step": guidance_out["min_step"],
+                    "max_step": guidance_out["max_step"],
+                }
+                return loss, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["geo"])
+            updates, new_opt = optimizer.update(grads, state["opt"], state["geo"])
+            new_geo = optax.apply_updates(state["geo"], updates)
+            new_state = {"geo": new_geo, "opt": new_opt, "step": step + 1}
+            return new_state, metrics
+
+        return jax.jit(train_step)
+
+    def make_render_fn(self):
+        renderer = self.renderer
+
+        def render(geo_params, gbuffer, env_id, rng):
+            return renderer.shade_view(geo_params, gbuffer, env_id, rng, is_train=False)
+
+        return jax.jit(render)
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        datamodule,
+        max_steps: int,
+        state: Optional[Dict[str, Any]] = None,
+        seed: int = 0,
+        trial_dir: str = "outputs/dreammat",
+        val_check_interval: int = 100,
+        checkpoint_every: int = 4000,
+        save_train_image_iter: Optional[int] = None,
+        log_every: int = 10,
+    ) -> Dict[str, Any]:
+        """Training loop (Lightning fit replacement, launch.py:189)."""
+        rng = jax.random.PRNGKey(seed)
+        k_init, k_guidance, rng = jax.random.split(rng, 3)
+        self.on_fit_start(k_guidance)
+        if state is None:
+            state = self.init_state(k_init)
+        else:
+            self.optimizer = parse_optimizer(self.cfg.optimizer)
+
+        if self._train_step_fn is None:
+            self._train_step_fn = self.make_train_step()
+        if self._render_fn is None:
+            self._render_fn = self.make_render_fn()
+
+        os.makedirs(trial_dir, exist_ok=True)
+        t0 = time.time()
+        start_step = int(state["step"])
+        for it in range(start_step, max_steps):
+            batch = datamodule.collate(step=it)
+            rng, k = jax.random.split(rng)
+            state, metrics = self._train_step_fn(
+                state, batch["gbuffer"], batch["condition_map"], batch["env_id"],
+                batch["elevation"], batch["azimuth"], batch["camera_distances"], k,
+            )
+            if (it + 1) % log_every == 0:
+                m = {k_: float(v) for k_, v in metrics.items()}
+                sps = (it + 1 - start_step) / (time.time() - t0)
+                dreammat_tpu.info(
+                    "step %d loss=%.4f sds=%.4f reg=%.5f (%.2f it/s)",
+                    it + 1, m["loss"], m["loss_sds"], m["loss_mat_reg"], sps,
+                )
+            if val_check_interval and (it + 1) % val_check_interval == 0:
+                self.validation(state, datamodule, trial_dir, it + 1)
+            if checkpoint_every and (it + 1) % checkpoint_every == 0:
+                save_checkpoint(
+                    os.path.join(trial_dir, "ckpts", f"step{it+1:06d}"), state, it + 1
+                )
+        return state
+
+    # ------------------------------------------------------------------
+    def validation(self, state, datamodule, trial_dir: str, step: int) -> str:
+        """PBR channel grid on a validation view (dreammat.py:182-242)."""
+        batch = datamodule.collate(step=step)
+        rng = jax.random.PRNGKey(step)
+        out = (self._render_fn or self.make_render_fn())(
+            state["geo"], batch["gbuffer"], batch["env_id"], rng
+        )
+        rows = [[
+            {"img": np.asarray(out["comp_rgb"])},
+            {"img": np.asarray(out["albedo"])},
+            {"img": np.asarray(out["metalness"])[..., 0]},
+            {"img": np.asarray(out["roughness"])[..., 0]},
+            {"img": np.asarray(out["comp_normal"])},
+            {"img": np.asarray(out["comp_depth"])[..., 0]},
+        ]]
+        path = os.path.join(trial_dir, "save", f"it{step}-val.png")
+        return saving.save_image_grid(path, rows)
+
+    def test(self, state, datamodule, trial_dir: str, step: int, n_views: Optional[int] = None) -> str:
+        """Eval circle -> per-view PNGs + gif (dreammat.py:247-300)."""
+        n = n_views or datamodule.cfg.n_test_views
+        frames = []
+        render = self._render_fn or self.make_render_fn()
+        for i in range(n):
+            batch = datamodule.eval_view(i)
+            out = render(state["geo"], batch["gbuffer"], batch["env_id"], jax.random.PRNGKey(i))
+            rgb = np.asarray(out["comp_rgb"])
+            alpha = np.asarray(out["opacity"])[..., 0]
+            d = os.path.join(trial_dir, "save", f"it{step}-test")
+            saving.save_image(os.path.join(d, f"{i}.png"), rgb)
+            saving.save_image_with_alpha(
+                os.path.join(d, "albedo", f"{i}.png"), np.asarray(out["albedo"]), alpha
+            )
+            saving.save_image_with_alpha(
+                os.path.join(d, "roughness", f"{i}.png"),
+                np.asarray(out["roughness"])[..., 0], alpha,
+            )
+            saving.save_image_with_alpha(
+                os.path.join(d, "metallic", f"{i}.png"),
+                np.asarray(out["metalness"])[..., 0], alpha,
+            )
+            frames.append(rgb)
+        gif = os.path.join(trial_dir, "save", f"it{step}-test.gif")
+        return saving.save_gif(gif, frames, fps=30)
+
+    def export(self, state, trial_dir: str, texture_size: int = 2048) -> str:
+        """Bake + save OBJ/MTL (on_predict_epoch_end path, base.py:309-345)."""
+        from dreammat_tpu.models.exporter import MeshExporter
+
+        exporter = MeshExporter(
+            {"texture_size": texture_size},
+            self.geometry, self.material,
+        )
+        out_dir = os.path.join(trial_dir, "save", "export")
+        return exporter.export_obj_with_mtl(state["geo"], out_dir)

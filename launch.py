@@ -1,0 +1,96 @@
+"""CLI entry point.
+
+Rebuild of the reference launcher
+(/root/reference/threestudio_dreammat/launch.py:42-246): same flag surface
+(--config, --train/--validate/--test/--export, dotted overrides) minus the
+CUDA_VISIBLE_DEVICES juggling — device selection on TPU is the runtime's
+job; multi-chip runs configure a mesh via ``parallel.topology`` instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True, help="path to config yaml")
+    parser.add_argument("--train", action="store_true")
+    parser.add_argument("--validate", action="store_true")
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--export", action="store_true")
+    parser.add_argument("--resume", default=None, help="checkpoint to resume from")
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument(
+        "--gpu", default=None,
+        help="accepted for reference-CLI parity; device selection is the TPU runtime's job",
+    )
+    args, extras = parser.parse_known_args(argv)
+
+    import jax
+
+    import dreammat_tpu
+    import dreammat_tpu.data  # noqa: F401 (registry)
+    import dreammat_tpu.models  # noqa: F401
+    import dreammat_tpu.systems  # noqa: F401
+    from dreammat_tpu.utils.config import load_config
+
+    if args.verbose:
+        import logging
+
+        dreammat_tpu.logger.setLevel(logging.DEBUG)
+
+    cfg = load_config(args.config, cli_args=extras)
+    dreammat_tpu.info("devices: %s", jax.devices())
+    dreammat_tpu.info("trial dir: %s", cfg.trial_dir)
+    os.makedirs(cfg.trial_dir, exist_ok=True)
+    with open(os.path.join(cfg.trial_dir, "cmd.txt"), "w") as f:
+        f.write(" ".join(["python"] + sys.argv) + "\n")
+    # config snapshot (reference callbacks.py:97-111)
+    import shutil
+
+    shutil.copy(args.config, os.path.join(cfg.trial_dir, "parsed.yaml"))
+
+    system = dreammat_tpu.find(cfg.system_type)(cfg.system)
+    datamodule = dreammat_tpu.find(cfg.data_type)(
+        cfg.data, system.renderer, system.material
+    )
+
+    state = None
+    if args.resume:
+        from dreammat_tpu.utils.ckpt import load_checkpoint
+
+        state, step = load_checkpoint(args.resume)
+        dreammat_tpu.info("resumed from %s at step %d", args.resume, step)
+
+    if args.train:
+        datamodule.setup()
+        state = system.fit(
+            datamodule,
+            max_steps=cfg.trainer.max_steps,
+            state=state,
+            seed=cfg.seed,
+            trial_dir=cfg.trial_dir,
+            val_check_interval=cfg.trainer.val_check_interval,
+            checkpoint_every=cfg.checkpoint.every_n_train_steps,
+        )
+        system.test(state, datamodule, cfg.trial_dir, cfg.trainer.max_steps)
+        system.export(state, cfg.trial_dir)
+    elif args.validate:
+        assert state is not None, "--validate requires --resume"
+        datamodule.setup()
+        system.validation(state, datamodule, cfg.trial_dir, int(state["step"]))
+    elif args.test:
+        assert state is not None, "--test requires --resume"
+        system.test(state, datamodule, cfg.trial_dir, int(state["step"]))
+    elif args.export:
+        assert state is not None, "--export requires --resume"
+        system.export(state, cfg.trial_dir)
+    else:
+        parser.error("specify one of --train / --validate / --test / --export")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dreammat_tpu
+import dreammat_tpu.systems  # registry
+from dreammat_tpu.data.controlnet_dataset import ControlNetDataset
+
+
+class SyntheticDataset:
+    """In-memory stand-in with the same .batches API."""
+
+    def __init__(self, res=16, n=8, seed=0):
+        rng = np.random.RandomState(seed)
+        self.targets = rng.rand(n, res, res, 3).astype(np.float32)
+        self.conds = rng.rand(n, res, res, 22).astype(np.float32)
+        self.n = n
+
+    def batches(self, batch_size, epochs=1, shuffle=True):
+        for _ in range(epochs):
+            for i in range(0, self.n - batch_size + 1, batch_size):
+                yield {
+                    "target": self.targets[i : i + batch_size],
+                    "condition": self.conds[i : i + batch_size],
+                    "prompts": ["a test prompt"] * batch_size,
+                }
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    return dreammat_tpu.find("controlnet-trainer")(
+        {
+            "model_size": "tiny",
+            "resolution": 16,
+            "train_batch_size": 2,
+            "num_train_epochs": 1,
+            "checkpointing_steps": 0,
+            "learning_rate": 1e-4,
+        }
+    )
+
+
+def test_from_unet_seeding(trainer):
+    params = trainer.init_params(jax.random.PRNGKey(0))
+    # shared blocks must match the UNet exactly (from_unet semantics)
+    u = params["frozen"]["unet"]["params"]["conv_in"]["kernel"]
+    c = params["controlnet"]["params"]["conv_in"]["kernel"]
+    assert np.allclose(np.asarray(u), np.asarray(c))
+    u = params["frozen"]["unet"]["params"]["down_blocks_0"]["resnets_0"]["conv1"]["kernel"]
+    c = params["controlnet"]["params"]["down_blocks_0"]["resnets_0"]["conv1"]["kernel"]
+    assert np.allclose(np.asarray(u), np.asarray(c))
+
+
+def test_train_loop_reduces_loss(trainer, tmp_path):
+    ds = SyntheticDataset(res=16, n=8)
+    out = trainer.fit(ds, str(tmp_path), max_steps=4, log_every=1)
+    assert out["step"] == 4
+    for leaf in jax.tree_util.tree_leaves(out["controlnet"]):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # diffusers export exists
+    assert os.path.exists(tmp_path / "controlnet" / "diffusion_pytorch_model.safetensors")
+
+
+def test_train_step_multidevice(trainer):
+    """DP over the 8 virtual CPU devices."""
+    from dreammat_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    params = trainer.init_params(jax.random.PRNGKey(0))
+    step_fn = trainer.make_train_step(mesh)
+    opt_state = trainer.tx.init(params["controlnet"])
+    B = 8
+    batch = {
+        "target": jnp.zeros((B, 16, 16, 3)),
+        "input_ids": jnp.zeros((B, trainer.clip_cfg.max_length), jnp.int32),
+        "condition": jnp.zeros((B, 16, 16, 22)),
+    }
+    cnet, opt2, metrics = step_fn(
+        params["controlnet"], opt_state, params["frozen"], batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dataset_cfg_dropout(tmp_path):
+    # build a tiny npz-layout dataset
+    os.makedirs(tmp_path / "obj1", exist_ok=True)
+    n_views, n_envs, res = 2, 2, 8
+    np.savez(
+        tmp_path / "obj1" / "data.npz",
+        colors=np.random.rand(n_views, n_envs, res, res, 3).astype(np.float16),
+        depths=np.random.rand(n_views, res, res, 1).astype(np.float16),
+        normals=np.random.rand(n_views, res, res, 3).astype(np.float16),
+        lightmaps=np.random.rand(n_views, n_envs, res, res, 18).astype(np.float16),
+    )
+    pf = tmp_path / "prompts.json"
+    pf.write_text(json.dumps({"obj1": "a shiny robot"}))
+    ds = ControlNetDataset(str(tmp_path), str(pf), resolution=res,
+                           use_cfg=True, env_num=n_envs, view_num=n_views, seed=0)
+    assert len(ds) == n_views * n_envs
+    saw_empty_prompt = saw_zero_cond = False
+    for i in range(200):
+        ex = ds[i % len(ds)]
+        assert ex.condition.shape == (res, res, 22)
+        if ex.prompt == "":
+            saw_empty_prompt = True
+        if np.allclose(ex.condition, 0):
+            saw_zero_cond = True
+    assert saw_empty_prompt and saw_zero_cond

@@ -1,0 +1,95 @@
+"""End-to-end smoke: tiny config, procedural mesh, 2 train steps, test render,
+export. The 'strawberry at tiny res' regression of SURVEY §4."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    # write a small OBJ (octahedron-ish sphere) to exercise the mesh loader
+    from dreammat_tpu.models.mesh import make_icosphere
+
+    m = make_icosphere(1)
+    obj = tmp / "sphere.obj"
+    with open(obj, "w") as f:
+        for v in np.asarray(m.v_pos):
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for tri in np.asarray(m.t_pos_idx):
+            f.write(f"f {tri[0]+1} {tri[1]+1} {tri[2]+1}\n")
+
+    import dreammat_tpu
+    import dreammat_tpu.data  # noqa: F401
+    import dreammat_tpu.models  # noqa: F401
+    import dreammat_tpu.systems  # noqa: F401
+    from dreammat_tpu.utils.config import load_config
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "dreammat_tiny.yaml"),
+        cli_args=[
+            "system.prompt_processor.prompt=a red apple",
+            f"system.geometry.shape_init=mesh:{obj}",
+            f"exp_root_dir={tmp}/outputs",
+            "trainer.max_steps=2",
+        ],
+    )
+    system = dreammat_tpu.find(cfg.system_type)(cfg.system)
+    datamodule = dreammat_tpu.find(cfg.data_type)(cfg.data, system.renderer, system.material)
+    datamodule.setup()
+    state = system.fit(
+        datamodule, max_steps=2, seed=0, trial_dir=cfg.trial_dir,
+        val_check_interval=0, checkpoint_every=0, log_every=1,
+    )
+    return cfg, system, datamodule, state
+
+
+def test_training_updates_params(tiny_run):
+    cfg, system, dm, state = tiny_run
+    assert int(state["step"]) == 2
+    # hashgrid table moved away from init
+    import jax
+
+    params0 = system.geometry.init(jax.random.PRNGKey(0))
+    diff = float(abs(np.asarray(state["geo"]["table"]) - np.asarray(params0["table"])).sum())
+    assert np.isfinite(diff)
+    leaves = jax.tree_util.tree_leaves(state["geo"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_validation_and_test_render(tiny_run):
+    cfg, system, dm, state = tiny_run
+    p = system.validation(state, dm, cfg.trial_dir, 2)
+    assert os.path.exists(p)
+    gif = system.test(state, dm, cfg.trial_dir, 2, n_views=2)
+    assert os.path.exists(gif)
+
+
+def test_checkpoint_roundtrip(tiny_run, tmp_path):
+    import jax
+
+    from dreammat_tpu.utils.ckpt import load_checkpoint, save_checkpoint
+
+    cfg, system, dm, state = tiny_run
+    p = save_checkpoint(str(tmp_path / "ck"), state, int(state["step"]))
+    state2, step = load_checkpoint(p)
+    assert step == 2
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(state2)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_export_obj(tiny_run):
+    cfg, system, dm, state = tiny_run
+    # small texture for CI speed
+    from dreammat_tpu.models.exporter import MeshExporter
+
+    exporter = MeshExporter({"texture_size": 64}, system.geometry, system.material)
+    out = exporter.export_obj_with_mtl(state["geo"], os.path.join(cfg.trial_dir, "export"))
+    assert os.path.exists(out)
+    txt = open(out).read()
+    assert "mtllib" in txt and txt.count("\nf ") > 10
+    mtl = os.path.join(os.path.dirname(out), "model.mtl")
+    mtl_txt = open(mtl).read()
+    assert "map_Kd" in mtl_txt and "map_Pm" in mtl_txt and "map_Pr" in mtl_txt

@@ -1,0 +1,149 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dreammat_tpu
+import dreammat_tpu.models  # registry
+from dreammat_tpu.models import guidance as guidance_lib  # noqa: F401
+from dreammat_tpu.models import prompt as prompt_lib  # noqa: F401
+from dreammat_tpu.models.prompt import PromptEmbeddings
+
+
+@pytest.fixture(scope="module")
+def tiny_guidance():
+    g = dreammat_tpu.find("stable-diffusion-dreammat-guidance")(
+        {
+            "model_size": "tiny",
+            "half_precision_weights": False,
+            "cache_dir": None,
+            "controlnet_path": None,
+            "cond_scale": 1.05,
+            # the UNet's conv_out is zero-init, so eps==0 with random weights;
+            # noise_scale=1 keeps the SDS grad (and this test) nonzero
+            "noise_scale": 1.0,
+            "uncond_scale": [0, -1.0, -0.5, 2000],
+            "null_scale": [0, 0.0, -0.5, 2000],
+            "min_step_percent": [500, 0.2, 0.02, 501],
+            "max_step_percent": [500, 0.8, 0.5, 501],
+        }
+    )
+    params = g.init_params(jax.random.PRNGKey(0), latent_hw=(8, 8))
+    return g, params
+
+
+def make_prompt_embeddings(dim=64, n=16, use_perp_neg=False):
+    k = jax.random.PRNGKey(7)
+    mk = lambda i, *shape: jax.random.normal(jax.random.fold_in(k, i), shape)
+    return PromptEmbeddings(
+        text_vd=mk(0, 4, n, dim),
+        uncond_vd=mk(1, 4, n, dim),
+        text=mk(2, n, dim),
+        uncond=mk(3, n, dim),
+        null=mk(4, n, dim),
+        use_perp_neg=use_perp_neg,
+    )
+
+
+def test_direction_idx_buckets():
+    pe = make_prompt_embeddings()
+    ele = jnp.asarray([0.0, 0.0, 0.0, 80.0])
+    azi = jnp.asarray([90.0, 10.0, 175.0, 0.0])
+    idx = np.asarray(pe.direction_idx(ele, azi))
+    assert list(idx) == [0, 1, 2, 3]  # side, front, back, overhead
+
+
+def test_guidance_loss_and_grad(tiny_guidance):
+    g, params = tiny_guidance
+    B, H = 1, 16  # tiny vae downsamples 16 -> 8
+    rgb = jax.random.uniform(jax.random.PRNGKey(1), (B, H, H, 3))
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (B, H, H, 22))
+    pe = make_prompt_embeddings()
+
+    def loss_fn(rgb):
+        out = g(
+            params, rgb, pe,
+            jnp.zeros((B,)), jnp.zeros((B,)), jnp.full((B,), 3.0),
+            cond, step=jnp.int32(100), rng=jax.random.PRNGKey(3),
+        )
+        return out["loss_sds"], out
+
+    (loss, out), grad = jax.value_and_grad(loss_fn, has_aux=True)(rgb)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(grad)).all()
+    # SDS gradient flows into the rendered image
+    assert float(jnp.abs(grad).sum()) > 0
+    assert np.isfinite(float(out["grad_norm"]))
+
+
+def test_guidance_step_window_anneal(tiny_guidance):
+    g, params = tiny_guidance
+    B, H = 1, 16
+    rgb = jnp.full((B, H, H, 3), 0.5)
+    cond = jnp.zeros((B, H, H, 22))
+    pe = make_prompt_embeddings()
+
+    out_early = g(params, rgb, pe, jnp.zeros((B,)), jnp.zeros((B,)), jnp.ones((B,)),
+                  cond, step=jnp.int32(0), rng=jax.random.PRNGKey(0))
+    out_late = g(params, rgb, pe, jnp.zeros((B,)), jnp.zeros((B,)), jnp.ones((B,)),
+                 cond, step=jnp.int32(5000), rng=jax.random.PRNGKey(0))
+    # [500, 0.2, 0.02, 501]: early min_step=200, late min_step=20
+    assert int(out_early["min_step"]) == 200
+    assert int(out_late["min_step"]) == 20
+    assert int(out_early["max_step"]) == 800
+    assert int(out_late["max_step"]) == 500
+
+
+def test_guidance_perp_neg_path(tiny_guidance):
+    g, params = tiny_guidance
+    B, H = 1, 16
+    rgb = jax.random.uniform(jax.random.PRNGKey(1), (B, H, H, 3))
+    cond = jnp.zeros((B, H, H, 22))
+    pe = make_prompt_embeddings(use_perp_neg=True)
+    out = g(params, rgb, pe, jnp.zeros((B,)), jnp.asarray([50.0]), jnp.ones((B,)),
+            cond, step=jnp.int32(10), rng=jax.random.PRNGKey(2))
+    assert np.isfinite(float(out["loss_sds"]))
+
+
+def test_guidance_jit_compiles(tiny_guidance):
+    g, params = tiny_guidance
+    B, H = 1, 16
+    pe = make_prompt_embeddings()
+
+    @jax.jit
+    def f(rgb, cond, step, rng):
+        return g(params, rgb, pe, jnp.zeros((B,)), jnp.zeros((B,)), jnp.ones((B,)),
+                 cond, step=step, rng=rng)["loss_sds"]
+
+    rgb = jnp.full((B, H, H, 3), 0.3)
+    cond = jnp.zeros((B, H, H, 22))
+    a = f(rgb, cond, jnp.int32(1), jax.random.PRNGKey(0))
+    b = f(rgb, cond, jnp.int32(2), jax.random.PRNGKey(1))
+    assert np.isfinite(float(a)) and np.isfinite(float(b))
+
+
+def test_prompt_processor_cache(tmp_path):
+    pp = dreammat_tpu.find("stable-diffusion-prompt-processor")(
+        {
+            "prompt": "a red apple",
+            "negative_prompt": "ugly",
+            "model_size": "tiny",
+            "cache_dir": str(tmp_path),
+            "pretrained_model_cache_dir": str(tmp_path / "nomodel"),
+        }
+    )
+    emb = pp()
+    assert emb.text_vd.shape[0] == 4
+    assert emb.text.shape == emb.null.shape
+    # cached second call: fresh processor instance reads from disk
+    pp2 = dreammat_tpu.find("stable-diffusion-prompt-processor")(
+        {
+            "prompt": "a red apple",
+            "negative_prompt": "ugly",
+            "model_size": "tiny",
+            "cache_dir": str(tmp_path),
+            "pretrained_model_cache_dir": str(tmp_path / "nomodel"),
+        }
+    )
+    emb2 = pp2()
+    assert np.allclose(np.asarray(emb.text), np.asarray(emb2.text))
