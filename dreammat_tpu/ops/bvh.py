@@ -45,8 +45,122 @@ class FlatBVH(NamedTuple):
     tri_id: jnp.ndarray     # [T] i32 original face index (-1 = padding)
 
 
-def build_bvh(vertices: np.ndarray, faces: np.ndarray) -> FlatBVH:
-    """Host-side BVH build (median split on the largest centroid axis)."""
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    """Load (building if needed) the C++ builder in native/bvh_builder.cpp.
+    Falls back silently to the numpy builder."""
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    lib_path = os.path.join(root, "native", "lib", "libbvh_builder.so")
+    if not os.path.exists(lib_path):
+        src = os.path.join(root, "native", "bvh_builder.cpp")
+        if os.path.exists(src):
+            try:
+                os.makedirs(os.path.dirname(lib_path), exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", lib_path],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                return None
+    if not os.path.exists(lib_path):
+        return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+        lib.bvh_build.restype = ctypes.c_void_p
+        lib.bvh_build.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.bvh_read.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ]
+        _NATIVE_LIB = lib
+    except OSError:
+        _NATIVE_LIB = None
+    return _NATIVE_LIB
+
+
+def _build_bvh_native(vertices: np.ndarray, faces: np.ndarray):
+    """C++ fast path; returns the flat arrays or None if unavailable."""
+    import ctypes
+
+    lib = _load_native()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(vertices, dtype=np.float32)
+    f = np.ascontiguousarray(faces, dtype=np.int64)
+    n_nodes = ctypes.c_int64()
+    n_tris = ctypes.c_int64()
+    handle = lib.bvh_build(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), v.shape[0],
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), f.shape[0],
+        ctypes.byref(n_nodes), ctypes.byref(n_tris),
+    )
+    N, T = n_nodes.value, n_tris.value
+    node_min = np.empty((N, 3), np.float32)
+    node_max = np.empty((N, 3), np.float32)
+    node_miss = np.empty(N, np.int32)
+    node_first = np.empty(N, np.int32)
+    node_count = np.empty(N, np.int32)
+    out_tris = np.empty(T, np.int64)
+    lib.bvh_read(
+        handle,
+        node_min.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        node_max.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        node_miss.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        node_first.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        node_count.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return node_min, node_max, node_miss, node_first, node_count, out_tris
+
+
+def build_bvh(vertices: np.ndarray, faces: np.ndarray, use_native: bool = True) -> FlatBVH:
+    """Host-side BVH build (median split on the largest centroid axis).
+    Uses the C++ builder (native/bvh_builder.cpp) when available; the numpy
+    path below is the reference implementation and fallback."""
+    if use_native:
+        native = _build_bvh_native(vertices, faces)
+        if native is not None:
+            node_min, node_max, node_miss, node_first, node_count, out = native
+            vertices = np.asarray(vertices, dtype=np.float32)
+            faces = np.asarray(faces, dtype=np.int64)
+            v0 = vertices[faces[:, 0]]
+            v1 = vertices[faces[:, 1]]
+            v2 = vertices[faces[:, 2]]
+            T = int(np.ceil(max(len(out), 1) / LEAF_SIZE) * LEAF_SIZE)
+            pad = T - len(out)
+            tv0 = np.concatenate([v0[out], np.zeros((pad, 3), np.float32)])
+            te1 = np.concatenate([(v1 - v0)[out], np.zeros((pad, 3), np.float32)])
+            te2 = np.concatenate([(v2 - v0)[out], np.zeros((pad, 3), np.float32)])
+            tid = np.concatenate([out.astype(np.int32), -np.ones(pad, np.int32)])
+            return FlatBVH(
+                node_min=jnp.asarray(node_min), node_max=jnp.asarray(node_max),
+                node_miss=jnp.asarray(node_miss), node_first=jnp.asarray(node_first),
+                node_count=jnp.asarray(node_count),
+                tri_v0=jnp.asarray(tv0), tri_e1=jnp.asarray(te1),
+                tri_e2=jnp.asarray(te2), tri_id=jnp.asarray(tid),
+            )
+    return _build_bvh_python(vertices, faces)
+
+
+def _build_bvh_python(vertices: np.ndarray, faces: np.ndarray) -> FlatBVH:
+    """Numpy reference builder (also the fallback when g++ is unavailable)."""
     vertices = np.asarray(vertices, dtype=np.float32)
     faces = np.asarray(faces, dtype=np.int64)
     F = faces.shape[0]
