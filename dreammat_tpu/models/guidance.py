@@ -235,8 +235,10 @@ class StableDiffusionLightGuidance(BaseObject):
         perpneg_scale = C_jax(cfg.perpneg_scale, step)
         min_pct = C_jax(cfg.min_step_percent, step)
         max_pct = C_jax(cfg.max_step_percent, step)
-        min_step = (self.num_train_timesteps * min_pct).astype(jnp.int32)
-        max_step = (self.num_train_timesteps * max_pct).astype(jnp.int32)
+        # round to match python-side int(num_timesteps * pct) without f32
+        # truncation surprises (0.02*1000 -> 19.999)
+        min_step = jnp.round(self.num_train_timesteps * min_pct).astype(jnp.int32)
+        max_step = jnp.round(self.num_train_timesteps * max_pct).astype(jnp.int32)
 
         # uniform over the traced [min_step, max_step] window
         u = jax.random.uniform(k_t, (B,))

@@ -15,6 +15,8 @@ def tiny_guidance():
     g = dreammat_tpu.find("stable-diffusion-dreammat-guidance")(
         {
             "model_size": "tiny",
+            "width": 16,
+            "height": 16,
             "half_precision_weights": False,
             "cache_dir": None,
             "controlnet_path": None,
