@@ -59,7 +59,7 @@ def render_probes_for_view(
     sn = material.specular_dir_samples.shape[0]
 
     def shade_chunk(args):
-        pos, normal, viewdir, valid, key = args
+        pos, normal, viewdir, valid, tri, bary, key = args
         pc = pos.shape[0]
         k1, k2 = jax.random.split(key)
         refl = uops.reflect(viewdir, normal)
@@ -73,20 +73,24 @@ def render_probes_for_view(
         all_dirs = jnp.concatenate([d_dirs] + s_dirs, axis=1)  # [pc, dn+3sn, 3]
         S = all_dirs.shape[1]
 
-        # one visibility trace for everything
-        pts = jnp.broadcast_to(pos[:, None], all_dirs.shape).reshape(-1, 3)
-        dirs_flat = all_dirs.reshape(-1, 3)
-        if material.ray_trace_fun is not None:
+        # one visibility pass for all probes x envs
+        if material.baked_visibility is not None:
+            from dreammat_tpu.ops.visibility import lookup_visibility
+
+            vis = lookup_visibility(material.baked_visibility, tri, bary, all_dirs)
+        elif material.ray_trace_fun is not None:
+            pts = jnp.broadcast_to(pos[:, None], all_dirs.shape).reshape(-1, 3)
+            dirs_flat = all_dirs.reshape(-1, 3)
             _, _, _, occl = material.ray_trace_fun(pts + dirs_flat * 1e-5, dirs_flat)
-            occl = occl.reshape(pc, S)
+            vis = 1.0 - occl.reshape(pc, S).astype(jnp.float32)
         else:
-            occl = jnp.zeros((pc, S), dtype=bool)
+            vis = jnp.ones((pc, S))
 
         NoV = uops.saturate_dot(normal, viewdir)[:, None]
         imgs = []
         for env_id in range(n_envs):
             env_rad = material.get_environment_light(all_dirs, jnp.int32(env_id))
-            lights = jnp.where(occl[..., None], 0.0, env_rad)  # [pc,S,3]
+            lights = env_rad * vis[..., None]  # [pc,S,3]
             Ld = lights[:, :dn]
             per_probe = []
             for (m, r) in PROBE_MR:
@@ -124,10 +128,12 @@ def render_probes_for_view(
                       jnp.asarray([0.0, 0.0, 1.0]), nrm_c)
     vdr_c = padded(gb.fg_viewdir).reshape(-1, chunk, 3)
     val_c = padded(gb.fg_valid.astype(jnp.float32)).reshape(-1, chunk) > 0.5
+    tri_c = padded(gb.fg_tri).reshape(-1, chunk, 3)
+    bar_c = padded(gb.fg_bary).reshape(-1, chunk, 3)
     n_chunks = pos_c.shape[0]
     keys = jax.random.split(rng, n_chunks)
 
-    out = jax.lax.map(shade_chunk, (pos_c, nrm_c, vdr_c, val_c, keys))
+    out = jax.lax.map(shade_chunk, (pos_c, nrm_c, vdr_c, val_c, tri_c, bar_c, keys))
     # [n_chunks, n_envs, chunk, 18] -> [n_envs, P, 18]
     out = jnp.moveaxis(out, 1, 0).reshape(n_envs, -1, 18)[:, :P]
 
@@ -212,6 +218,8 @@ def prerender(
                 fg_pos=jnp.concatenate([gb.fg_pos, jnp.zeros((pad, 3))]),
                 fg_normal=jnp.concatenate([gb.fg_normal, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))]),
                 fg_viewdir=jnp.concatenate([gb.fg_viewdir, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))]),
+                fg_tri=jnp.concatenate([gb.fg_tri, jnp.zeros((pad, 3), jnp.int32)]),
+                fg_bary=jnp.concatenate([gb.fg_bary, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (pad, 1))]),
             )
         uni.append(gb)
     gbuffers = uni

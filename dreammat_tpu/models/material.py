@@ -151,6 +151,7 @@ class DreamMatMaterial(BaseObject):
         )
 
         self.ray_trace_fun: Optional[Callable] = None
+        self.baked_visibility = None  # ops.visibility.BakedVisibility
 
     def ensure_splitsum(self):
         if self.splitsum is None:
@@ -167,6 +168,11 @@ class DreamMatMaterial(BaseObject):
         """fn(rays_o [N,3], rays_d [N,3]) -> (positions, normals, depth, hit_mask);
         miss encoded as depth>=10 (reference raytracing_renderer.py:318-324)."""
         self.ray_trace_fun = fn
+
+    def set_baked_visibility(self, baked) -> None:
+        """Use the PRT-style baked per-vertex visibility table
+        (ops/visibility.py) instead of per-step shadow rays."""
+        self.baked_visibility = baked
 
     # ------------------------------------------------------------------
     # direction sampling
@@ -217,20 +223,27 @@ class DreamMatMaterial(BaseObject):
         env = jnp.take(self.envs, env_id, axis=0)  # [H,W,3]
         return envmap_lib.sample_equirect_nearest(env, directions)
 
-    def get_lights(self, points, directions, env_id, valid_mask=None):
+    def get_lights(self, points, directions, env_id, valid_mask=None, vis_data=None):
         """Incoming radiance with hard-shadow visibility
-        (dreammat_material.py:490-507)."""
+        (dreammat_material.py:490-507). ``vis_data=(tri_verts, bary)``
+        enables the baked-visibility fast path."""
         shape = points.shape[:-1]
-        eps = 1e-5
-        if self.ray_trace_fun is None:
-            occluded = jnp.zeros(shape, dtype=bool)
-        else:
+        env = self.get_environment_light(directions, env_id)
+        if self.baked_visibility is not None and vis_data is not None:
+            from dreammat_tpu.ops.visibility import lookup_visibility
+
+            tri_verts, bary = vis_data
+            vis = lookup_visibility(self.baked_visibility, tri_verts, bary, directions)
+            lights = env * vis[..., None]
+        elif self.ray_trace_fun is not None:
+            eps = 1e-5
             o = points.reshape(-1, 3) + directions.reshape(-1, 3) * eps
             d = directions.reshape(-1, 3)
             _, _, depth, hit_mask = self.ray_trace_fun(o, d)
             occluded = hit_mask.reshape(shape)
-        env = self.get_environment_light(directions, env_id)
-        lights = jnp.where(occluded[..., None], 0.0, env)
+            lights = jnp.where(occluded[..., None], 0.0, env)
+        else:
+            lights = env
         if valid_mask is not None:
             lights = jnp.where(valid_mask[..., None], lights, 0.0)
         return lights
@@ -255,7 +268,7 @@ class DreamMatMaterial(BaseObject):
 
     def shade_raytracing(
         self, pts, normals, view_dirs, env_id, metallic, roughness_sq, albedo,
-        rng, is_train: bool, mask=None,
+        rng, is_train: bool, mask=None, vis_data=None,
     ) -> Dict[str, jnp.ndarray]:
         """MC Cook–Torrance estimator (dreammat_material.py:615-677).
         All inputs are [P,...] fixed-size batches; ``mask`` marks real pixels
@@ -302,7 +315,7 @@ class DreamMatMaterial(BaseObject):
 
         pts_rep = jnp.broadcast_to(pts[:, None], directions.shape)
         valid = None if mask is None else jnp.broadcast_to(mask[:, None], directions.shape[:-1])
-        lights = self.get_lights(pts_rep, directions, env_id, valid)  # [P,S,3]
+        lights = self.get_lights(pts_rep, directions, env_id, valid, vis_data)  # [P,S,3]
 
         spec_w = dist * geom / (4.0 * NoV * probability + 1e-5)
         specular_colors = jnp.mean(fresnel * lights * spec_w, axis=1)
@@ -361,6 +374,7 @@ class DreamMatMaterial(BaseObject):
         rng: jax.Array,
         is_train: bool = True,
         mask: Optional[jnp.ndarray] = None,
+        vis_data=None,
     ):
         """Shade a fixed-size pixel batch; returns (outputs, mat_reg_loss)
         (forward, dreammat_material.py:713-763)."""
@@ -370,7 +384,7 @@ class DreamMatMaterial(BaseObject):
         if self.cfg.use_raytracing:
             out = self.shade_raytracing(
                 pts, normals, viewdirs, env_id, metallic, roughness_sq, albedo,
-                rng, is_train, mask=mask,
+                rng, is_train, mask=mask, vis_data=vis_data,
             )
         else:
             act = uops.get_activation(self.cfg.material_activation)(features)

@@ -48,6 +48,8 @@ class GBufferView(NamedTuple):
     fg_pos: jnp.ndarray      # [P,3] world hit positions
     fg_normal: jnp.ndarray   # [P,3] shading normals (interpolated v_nrm)
     fg_viewdir: jnp.ndarray  # [P,3] direction surface -> camera
+    fg_tri: jnp.ndarray      # [P,3] int32 vertex ids of the hit triangle
+    fg_bary: jnp.ndarray     # [P,3] barycentric weights
 
 
 @dreammat_tpu.register("raytracing-renderer")
@@ -58,6 +60,11 @@ class RaytraceRenderer(BaseObject):
         change_type: str = "gaussian"
         change_eps: float = 0.05
         pixel_budget: int = 0  # 0 => auto (max fg count, padded)
+        # "baked": per-vertex octahedral visibility baked once per mesh (fast
+        # TPU default); "raytrace": exact per-step BVH rays (reference
+        # parity); "none": no shadow rays
+        visibility_mode: str = "baked"
+        visibility_oct_res: int = 16
 
     cfg: Config
 
@@ -69,7 +76,16 @@ class RaytraceRenderer(BaseObject):
         self.bvh = bvh_lib.build_bvh(
             np.asarray(self.mesh.v_pos), np.asarray(self.mesh.t_pos_idx)
         )
-        self.material.set_raytracer(self.trace)
+        if self.cfg.visibility_mode == "raytrace":
+            self.material.set_raytracer(self.trace)
+        elif self.cfg.visibility_mode == "baked":
+            from dreammat_tpu.ops import visibility as vis_lib
+
+            baked = vis_lib.bake_vertex_visibility(
+                self.bvh, self.mesh.v_pos, self.mesh.v_nrm,
+                oct_res=self.cfg.visibility_oct_res,
+            )
+            self.material.set_baked_visibility(baked)
 
     # ------------------------------------------------------------------
     def trace(self, rays_o, rays_d):
@@ -145,6 +161,7 @@ class RaytraceRenderer(BaseObject):
         fg_idx = jnp.asarray(pad_idx, dtype=jnp.int32)
 
         viewdir = -uops.safe_normalize(rays_d.reshape(-1, 3))
+        bary = jnp.concatenate([1.0 - u - v, u, v], axis=-1)
         return GBufferView(
             mask=hit.reshape(H, W),
             cn_normal=cn_normal,
@@ -154,6 +171,8 @@ class RaytraceRenderer(BaseObject):
             fg_pos=pos[fg_idx],
             fg_normal=normal[fg_idx],
             fg_viewdir=viewdir[fg_idx],
+            fg_tri=tri[fg_idx],
+            fg_bary=bary[fg_idx],
         )
 
     # ------------------------------------------------------------------
@@ -191,6 +210,7 @@ class RaytraceRenderer(BaseObject):
         shade_out, mat_reg = self.material(
             gb.fg_pos, feats, feats_jitter, gb.fg_viewdir, gb.fg_normal,
             env_id, k_shade, is_train=is_train, mask=gb.fg_valid,
+            vis_data=(gb.fg_tri, gb.fg_bary),
         )
 
         maskf = gb.mask.reshape(-1, 1).astype(jnp.float32)

@@ -1,0 +1,109 @@
+"""Baked per-vertex visibility (PRT-style) for Monte-Carlo shading.
+
+The reference traces pixel x 328 visibility rays through a CUDA BVH *every
+optimization step* (dreammat_material.py:490-507) — tens of millions of
+irregular rays per step. On TPU the geometry is frozen and the cameras are
+fixed, so visibility vis(x, omega) is a static function of the mesh: we bake
+it ONCE per mesh on an octahedral direction grid at every vertex, and the
+hot loop becomes three gathers + a barycentric mix (soft shadows for free).
+
+Modes (renderer config ``visibility_mode``):
+- "raytrace": exact per-step BVH traversal (reference parity)
+- "baked":    this module (default for training throughput)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreammat_tpu.ops import bvh as bvh_lib
+
+
+class BakedVisibility(NamedTuple):
+    table: jnp.ndarray  # [V, O*O] float (1 = unoccluded)
+    oct_res: int
+
+
+# ---------------------------------------------------------------------------
+# octahedral direction <-> uv mapping
+# ---------------------------------------------------------------------------
+
+def dir_to_oct_uv(d: jnp.ndarray) -> jnp.ndarray:
+    """Unit dirs [...,3] -> octahedral uv in [0,1]^2."""
+    n = d / (jnp.abs(d[..., 0:1]) + jnp.abs(d[..., 1:2]) + jnp.abs(d[..., 2:3]) + 1e-12)
+    xy = n[..., :2]
+    neg = n[..., 2:3] < 0
+    folded = (1.0 - jnp.abs(xy[..., ::-1])) * jnp.sign(jnp.where(xy == 0, 1.0, xy))
+    xy = jnp.where(neg, folded, xy)
+    return xy * 0.5 + 0.5
+
+
+def oct_uv_to_dir(uv: jnp.ndarray) -> jnp.ndarray:
+    """Octahedral uv in [0,1]^2 -> unit dirs [...,3]."""
+    xy = uv * 2.0 - 1.0
+    z = 1.0 - jnp.abs(xy[..., 0:1]) - jnp.abs(xy[..., 1:2])
+    folded = (1.0 - jnp.abs(xy[..., ::-1])) * jnp.sign(jnp.where(xy == 0, 1.0, xy))
+    xy = jnp.where(z < 0, folded, xy)
+    d = jnp.concatenate([xy, z], axis=-1)
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def dir_to_bin(d: jnp.ndarray, oct_res: int) -> jnp.ndarray:
+    uv = dir_to_oct_uv(d)
+    x = jnp.clip((uv[..., 0] * oct_res).astype(jnp.int32), 0, oct_res - 1)
+    y = jnp.clip((uv[..., 1] * oct_res).astype(jnp.int32), 0, oct_res - 1)
+    return y * oct_res + x
+
+
+# ---------------------------------------------------------------------------
+# bake
+# ---------------------------------------------------------------------------
+
+def bake_vertex_visibility(
+    bvh: bvh_lib.FlatBVH,
+    v_pos: jnp.ndarray,
+    v_nrm: jnp.ndarray,
+    oct_res: int = 16,
+    eps: float = 1e-3,
+    chunk: int = 1 << 16,
+) -> BakedVisibility:
+    """Cast V x oct_res^2 rays once; vis=1 where the env is visible.
+    Rays into the surface (below the tangent plane) never matter for the
+    shading estimators (NoL weights them to ~0) so their value is harmless."""
+    V = v_pos.shape[0]
+    O2 = oct_res * oct_res
+    xs = (jnp.arange(oct_res, dtype=jnp.float32) + 0.5) / oct_res
+    uu, vv = jnp.meshgrid(xs, xs, indexing="xy")
+    uv = jnp.stack([uu.reshape(-1), vv.reshape(-1)], axis=-1)  # [O2,2] bin order y*O+x
+    dirs = oct_uv_to_dir(uv)  # [O2,3]
+
+    origins = (v_pos + v_nrm * eps)[:, None, :] + dirs[None, :, :] * eps  # [V,O2,3]
+    rays_o = origins.reshape(-1, 3)
+    rays_d = jnp.broadcast_to(dirs[None], (V, O2, 3)).reshape(-1, 3)
+    out = bvh_lib.cast_rays_chunked(bvh, rays_o, rays_d, chunk=chunk)
+    vis = (~out["hit"]).astype(jnp.float16).reshape(V, O2)
+    return BakedVisibility(table=vis, oct_res=oct_res)
+
+
+# ---------------------------------------------------------------------------
+# lookup
+# ---------------------------------------------------------------------------
+
+def lookup_visibility(
+    baked: BakedVisibility,
+    tri_verts: jnp.ndarray,   # [P,3] vertex indices of each pixel's triangle
+    bary: jnp.ndarray,        # [P,3] barycentric weights
+    directions: jnp.ndarray,  # [P,S,3]
+) -> jnp.ndarray:
+    """Soft visibility [P,S]: barycentric mix of the 3 vertex bits at each
+    sampled direction's octahedral bin."""
+    bins = dir_to_bin(directions, baked.oct_res)  # [P,S]
+    t = baked.table.astype(jnp.float32)
+    v0 = jnp.take_along_axis(t[tri_verts[:, 0]], bins, axis=-1)  # [P,S]
+    v1 = jnp.take_along_axis(t[tri_verts[:, 1]], bins, axis=-1)
+    v2 = jnp.take_along_axis(t[tri_verts[:, 2]], bins, axis=-1)
+    return bary[:, 0:1] * v0 + bary[:, 1:2] * v1 + bary[:, 2:3] * v2
