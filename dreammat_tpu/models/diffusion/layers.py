@@ -94,7 +94,9 @@ class Attention(nn.Module):
         q = q.reshape(B, Nq, self.num_heads, self.head_dim)
         k = k.reshape(B, Nk, self.num_heads, self.head_dim)
         v = v.reshape(B, Nk, self.num_heads, self.head_dim)
-        out = jax.nn.dot_product_attention(q, k, v)  # fused path on TPU
+        from dreammat_tpu.ops.attention import attention as fused_attention
+
+        out = fused_attention(q, k, v)  # Pallas flash kernel on TPU
         out = out.reshape(B, Nq, inner)
         return nn.Dense(inner, use_bias=self.out_bias, dtype=self.dtype, name="to_out_0")(out)
 
