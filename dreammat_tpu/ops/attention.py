@@ -111,12 +111,30 @@ def reference_attention(q, k, v):
     return jnp.einsum("bhnm,bmhd->bnhd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
+@jax.custom_vjp
+def _flash_attention_diff(q, k, v):
+    return flash_attention(q, k, v)
+
+
+def _flash_fwd(q, k, v):
+    return flash_attention(q, k, v), (q, k, v)
+
+
+def _flash_bwd(res, g):
+    # backward via XLA's fused attention vjp (ControlNet training path);
+    # the Pallas kernel stays the inference/forward fast path
+    q, k, v = res
+    _, vjp = jax.vjp(jax.nn.dot_product_attention, q, k, v)
+    return vjp(g)
+
+
+_flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
+
+
 def attention(q, k, v, use_pallas: str = "auto"):
-    """Dispatch: Pallas flash kernel on TPU, XLA fused attention elsewhere."""
+    """Dispatch: Pallas flash kernel on TPU, XLA fused attention elsewhere.
+    Differentiable in both paths (custom VJP around the kernel)."""
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas == "never" or (use_pallas == "auto" and not on_tpu):
         return jax.nn.dot_product_attention(q, k, v)
-    try:
-        return flash_attention(q, k, v)
-    except Exception:  # pragma: no cover - conservative fallback
-        return jax.nn.dot_product_attention(q, k, v)
+    return _flash_attention_diff(q, k, v)
