@@ -184,6 +184,20 @@ class DreamMat(BaseObject):
             self._render_fn = self.make_render_fn()
 
         os.makedirs(trial_dir, exist_ok=True)
+        from dreammat_tpu.utils.loggers import (
+            CSVLogger, MultiLogger, ProgressWriter, TSVEventLogger, WandbLogger,
+        )
+
+        wandb_cfg = dict(self.cfg.loggers.get("wandb", {})) if self.cfg.loggers else {}
+        metric_logger = MultiLogger(
+            CSVLogger(os.path.join(trial_dir, "logs")),
+            TSVEventLogger(os.path.join(trial_dir, "logs")),
+            WandbLogger(
+                wandb_cfg.get("project", "dreammat_tpu"),
+                enable=wandb_cfg.get("enable", False),
+            ),
+        )
+        progress = ProgressWriter(os.path.join(trial_dir, "progress"))
         t0 = time.time()
         start_step = int(state["step"])
         for it in range(start_step, max_steps):
@@ -200,6 +214,8 @@ class DreamMat(BaseObject):
                     "step %d loss=%.4f sds=%.4f reg=%.5f (%.2f it/s)",
                     it + 1, m["loss"], m["loss_sds"], m["loss_mat_reg"], sps,
                 )
+                metric_logger.log({**m, "it_per_sec": sps}, it + 1)
+                progress.update(it + 1, max_steps)
             if val_check_interval and (it + 1) % val_check_interval == 0:
                 self.validation(state, datamodule, trial_dir, it + 1)
             if checkpoint_every and (it + 1) % checkpoint_every == 0:

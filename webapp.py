@@ -1,0 +1,149 @@
+"""Minimal web UI for material generation.
+
+Rebuild of the reference ``gradio_app.py`` (543 LoC, subprocess-driven UI
+that shells out to launch.py and tails a progress file) using only the
+standard library (the gradio package is not in the TPU image): an HTML form
+posts a (mesh path, prompt, steps) job; the server spawns
+``python launch.py --train ...``, streams the progress-file percentage, and
+serves the latest validation render and the final gif/export.
+
+Usage: python webapp.py --port 7860
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import html
+import json
+import os
+import subprocess
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+STATE = {
+    "proc": None,
+    "trial_dir": None,
+    "started": None,
+    "cmd": None,
+}
+LOCK = threading.Lock()
+
+PAGE = """<!doctype html><html><head><title>dreammat-tpu</title>
+<style>body{{font-family:sans-serif;max-width:720px;margin:2em auto}}
+input,button{{font-size:1em;padding:.3em}}img{{max-width:100%}}</style>
+</head><body>
+<h2>DreamMat-TPU material generation</h2>
+<form method="post" action="/run">
+  <p>Mesh path: <input name="mesh" size="50" value="{mesh}"></p>
+  <p>Prompt: <input name="prompt" size="50" value="{prompt}"></p>
+  <p>Steps: <input name="steps" size="8" value="{steps}">
+     Config: <input name="config" size="30" value="{config}"></p>
+  <button type="submit">Generate</button>
+</form>
+<div id="status">{status}</div>
+{preview}
+<script>setTimeout(()=>location.reload(), 5000)</script>
+</body></html>"""
+
+
+def status_text():
+    with LOCK:
+        proc = STATE["proc"]
+        trial = STATE["trial_dir"]
+    if proc is None:
+        return "idle", ""
+    progress = ""
+    if trial and os.path.exists(os.path.join(trial, "progress")):
+        progress = open(os.path.join(trial, "progress")).read().strip()
+    if proc.poll() is None:
+        return f"running ({progress})", preview_html(trial)
+    return f"finished (exit {proc.returncode}) {progress}", preview_html(trial)
+
+
+def preview_html(trial):
+    if not trial:
+        return ""
+    imgs = sorted(glob.glob(os.path.join(trial, "save", "*.png")))
+    gifs = sorted(glob.glob(os.path.join(trial, "save", "*.gif")))
+    parts = []
+    for p in (imgs[-1:] + gifs[-1:]):
+        rel = os.path.relpath(p, start=os.getcwd())
+        parts.append(f'<p><img src="/file?path={html.escape(rel)}"></p>')
+    return "\n".join(parts)
+
+
+class Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def _send(self, body: bytes, ctype="text/html"):
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        if url.path == "/file":
+            q = parse_qs(url.query)
+            path = q.get("path", [""])[0]
+            # serve only files under cwd
+            full = os.path.abspath(path)
+            if not full.startswith(os.getcwd()) or not os.path.exists(full):
+                self.send_error(404)
+                return
+            ctype = "image/gif" if full.endswith(".gif") else "image/png"
+            with open(full, "rb") as f:
+                self._send(f.read(), ctype)
+            return
+        status, preview = status_text()
+        body = PAGE.format(
+            mesh="", prompt="", steps="3000", config="configs/dreammat.yaml",
+            status=html.escape(status), preview=preview,
+        )
+        self._send(body.encode())
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        q = parse_qs(self.rfile.read(length).decode())
+        mesh = q.get("mesh", [""])[0]
+        prompt = q.get("prompt", [""])[0]
+        steps = q.get("steps", ["3000"])[0]
+        config = q.get("config", ["configs/dreammat.yaml"])[0]
+        with LOCK:
+            if STATE["proc"] is not None and STATE["proc"].poll() is None:
+                self._send(b"a job is already running; <a href='/'>back</a>")
+                return
+            tag = prompt.replace(" ", "_") or "job"
+            trial_dir = os.path.join("outputs", "webapp", tag)
+            cmd = [
+                "python", "launch.py", "--config", config, "--train",
+                f"system.prompt_processor.prompt={prompt}",
+                f"system.geometry.shape_init=mesh:{mesh}",
+                f"trainer.max_steps={steps}",
+                "exp_root_dir=outputs/webapp", "use_timestamp=false",
+            ]
+            STATE["proc"] = subprocess.Popen(cmd)
+            STATE["trial_dir"] = trial_dir
+            STATE["started"] = time.time()
+            STATE["cmd"] = cmd
+        self.send_response(303)
+        self.send_header("Location", "/")
+        self.end_headers()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=7860)
+    args = ap.parse_args()
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
+    print(f"serving on http://localhost:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
