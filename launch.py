@@ -24,6 +24,13 @@ def main(argv=None) -> None:
     parser.add_argument("--resume", default=None, help="checkpoint to resume from")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument(
+        "--typecheck", action="store_true",
+        help="enable runtime NaN checking (jax_debug_nans), the TPU analogue "
+             "of the reference's --typecheck/anomaly asserts",
+    )
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace into this dir")
+    parser.add_argument(
         "--gpu", default=None,
         help="accepted for reference-CLI parity; device selection is the TPU runtime's job",
     )
@@ -42,6 +49,11 @@ def main(argv=None) -> None:
 
         dreammat_tpu.logger.setLevel(logging.DEBUG)
 
+    if args.typecheck:
+        from dreammat_tpu.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging()
+
     cfg = load_config(args.config, cli_args=extras)
     dreammat_tpu.info("devices: %s", jax.devices())
     dreammat_tpu.info("trial dir: %s", cfg.trial_dir)
@@ -52,6 +64,23 @@ def main(argv=None) -> None:
     import shutil
 
     shutil.copy(args.config, os.path.join(cfg.trial_dir, "parsed.yaml"))
+    # code snapshot of git-tracked files (reference callbacks.py:60-95)
+    try:
+        import subprocess
+
+        files = subprocess.run(
+            ["git", "ls-files"], capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.split()
+        snap = os.path.join(cfg.trial_dir, "code_snapshot")
+        for rel in files:
+            src = os.path.join(os.path.dirname(os.path.abspath(__file__)), rel)
+            dst = os.path.join(snap, rel)
+            if os.path.isfile(src):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copy(src, dst)
+    except Exception:
+        pass
 
     system = dreammat_tpu.find(cfg.system_type)(cfg.system)
     datamodule = dreammat_tpu.find(cfg.data_type)(
@@ -65,8 +94,11 @@ def main(argv=None) -> None:
         state, step = load_checkpoint(args.resume)
         dreammat_tpu.info("resumed from %s at step %d", args.resume, step)
 
+    from dreammat_tpu.utils.profiling import xla_trace
+
     if args.train:
-        datamodule.setup()
+        with xla_trace(args.profile_dir):
+            datamodule.setup()
         state = system.fit(
             datamodule,
             max_steps=cfg.trainer.max_steps,
