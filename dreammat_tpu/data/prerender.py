@@ -66,7 +66,7 @@ def render_probes_for_view(
         d_dirs = material.sample_diffuse_directions(normal, k1, is_train=False)
         s_dirs = []
         for r in SPEC_ROUGHNESS:
-            alpha = jnp.full((pc, 1), max(r * r, 1e-4))
+            alpha = jnp.full((pc, 1), max(r * r, 1e-3))
             s_dirs.append(
                 material.sample_specular_directions(refl, alpha, k2, is_train=False)
             )
@@ -94,7 +94,7 @@ def render_probes_for_view(
             Ld = lights[:, :dn]
             per_probe = []
             for (m, r) in PROBE_MR:
-                alpha = max(r * r, 1e-4)
+                alpha = max(r * r, 1e-3)
                 F0 = 0.04 * (1 - m) + m * 1.0  # white base color
                 # diffuse: kd = albedo*(1-m); cosine-set estimator = kd*mean(L)
                 diffuse = (1.0 - m) * jnp.mean(Ld, axis=1)
@@ -111,7 +111,10 @@ def render_probes_for_view(
                 Fr = fresnel_schlick(jnp.asarray(F0), VoH)
                 pdf = D * NoH / (4.0 * VoH + 1e-5)
                 spec = jnp.mean(Fr * Ls * D * G / (4.0 * NoV * pdf + 1e-5), axis=1)
-                per_probe.append(uops.lin2srgb(diffuse + spec))
+                # XLA fusion can reassociate the D/pdf cancellation into
+                # inf*0 at mirror-alpha silhouette pixels; scrub like the
+                # reference does (torch.nan_to_num, dreammat_guidance.py:584)
+                per_probe.append(uops.lin2srgb(jnp.nan_to_num(diffuse + spec)))
             imgs.append(jnp.concatenate(per_probe, axis=-1))  # [pc, 18]
         return jnp.stack(imgs)  # [n_envs, pc, 18]
 

@@ -318,7 +318,7 @@ class DreamMatMaterial(BaseObject):
         lights = self.get_lights(pts_rep, directions, env_id, valid, vis_data)  # [P,S,3]
 
         spec_w = dist * geom / (4.0 * NoV * probability + 1e-5)
-        specular_colors = jnp.mean(fresnel * lights * spec_w, axis=1)
+        specular_colors = jnp.nan_to_num(jnp.mean(fresnel * lights * spec_w, axis=1))
         diffuse_colors = jnp.mean(albedo[:, None] * lights[:, :dn], axis=1)
         colors = uops.lin2srgb(diffuse_colors + specular_colors)
 

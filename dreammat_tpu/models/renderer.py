@@ -135,9 +135,9 @@ class RaytraceRenderer(BaseObject):
         # inverse-normalized depth (raytracing_renderer.py:333-343)
         min_val = 0.3
         inv = 1.0 / (t + 1e-6)
-        inv_fg = jnp.where(hit, inv, jnp.nan)
-        dmax = jnp.nanmax(inv_fg)
-        dmin = jnp.nanmin(inv_fg)
+        # masked min/max (no NaN sentinels, keeps jax_debug_nans usable)
+        dmax = jnp.max(jnp.where(hit, inv, -jnp.inf))
+        dmin = jnp.min(jnp.where(hit, inv, jnp.inf))
         dn = (1 - min_val) * (inv - dmin) / (dmax - dmin + 1e-6) + min_val
         cn_depth = jnp.where(hit, dn, 0.0).reshape(H, W, 1)
 
