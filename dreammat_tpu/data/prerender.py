@@ -223,6 +223,7 @@ def prerender(
                 fg_viewdir=jnp.concatenate([gb.fg_viewdir, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))]),
                 fg_tri=jnp.concatenate([gb.fg_tri, jnp.zeros((pad, 3), jnp.int32)]),
                 fg_bary=jnp.concatenate([gb.fg_bary, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (pad, 1))]),
+                fg_uv=jnp.concatenate([gb.fg_uv, jnp.zeros((pad, 2))]),
             )
         uni.append(gb)
     gbuffers = uni

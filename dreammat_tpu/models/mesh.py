@@ -350,3 +350,43 @@ def make_box(half: float = 0.5) -> Mesh:
         t_pos_idx=jnp.asarray(f),
         v_nrm=jnp.asarray(compute_vertex_normals(corners, f)),
     )
+
+
+# ---------------------------------------------------------------------------
+# mesh regularization losses (reference mesh.py:253-311)
+# ---------------------------------------------------------------------------
+
+def build_edge_adjacency(f: np.ndarray):
+    """Host-side: unique edges [E,2] and per-vertex neighbor CSR for the
+    uniform laplacian; plus edge->(face,face) pairs for normal consistency."""
+    edges = {}
+    for fi in range(f.shape[0]):
+        for k in range(3):
+            a, b = int(f[fi, k]), int(f[fi, (k + 1) % 3])
+            key = (min(a, b), max(a, b))
+            edges.setdefault(key, []).append(fi)
+    edge_arr = np.asarray(sorted(edges.keys()), dtype=np.int32)
+    pairs = [
+        (fl[0], fl[1]) for fl in edges.values() if len(fl) >= 2
+    ]
+    face_pairs = np.asarray(pairs, dtype=np.int32) if pairs else np.zeros((0, 2), np.int32)
+    return edge_arr, face_pairs
+
+
+def laplacian_loss(v_pos: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
+    """Uniform-weight laplacian smoothness (reference mesh.py:253-282):
+    ||v - mean(neighbors)||; computed edge-wise via scatter means."""
+    V = v_pos.shape[0]
+    a, b = edges[:, 0], edges[:, 1]
+    acc = jnp.zeros((V, 3)).at[a].add(v_pos[b]).at[b].add(v_pos[a])
+    cnt = jnp.zeros((V,)).at[a].add(1.0).at[b].add(1.0)
+    mean_nb = acc / jnp.maximum(cnt, 1.0)[:, None]
+    return jnp.mean(jnp.linalg.norm(v_pos - mean_nb, axis=-1))
+
+
+def normal_consistency_loss(mesh: "Mesh", face_pairs: jnp.ndarray) -> jnp.ndarray:
+    """1 - cos between adjacent face normals (reference mesh.py:284-311)."""
+    fn = mesh.face_normals
+    n0 = fn[face_pairs[:, 0]]
+    n1 = fn[face_pairs[:, 1]]
+    return jnp.mean(1.0 - jnp.sum(n0 * n1, axis=-1))

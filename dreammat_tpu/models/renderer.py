@@ -50,6 +50,7 @@ class GBufferView(NamedTuple):
     fg_viewdir: jnp.ndarray  # [P,3] direction surface -> camera
     fg_tri: jnp.ndarray      # [P,3] int32 vertex ids of the hit triangle
     fg_bary: jnp.ndarray     # [P,3] barycentric weights
+    fg_uv: jnp.ndarray       # [P,2] interpolated texture coords (zeros if none)
 
 
 @dreammat_tpu.register("raytracing-renderer")
@@ -162,6 +163,14 @@ class RaytraceRenderer(BaseObject):
 
         viewdir = -uops.safe_normalize(rays_d.reshape(-1, 3))
         bary = jnp.concatenate([1.0 - u - v, u, v], axis=-1)
+        # interpolated UVs for the 2D-field input mode
+        # (reference raytracing_renderer.py:177-181)
+        if self.mesh.v_tex is not None and self.mesh.t_tex_idx is not None:
+            tt = self.mesh.t_tex_idx[face]
+            vt = self.mesh.v_tex
+            uv_interp = (1 - u - v) * vt[tt[:, 0]] + u * vt[tt[:, 1]] + v * vt[tt[:, 2]]
+        else:
+            uv_interp = jnp.zeros((hit.shape[0], 2))
         return GBufferView(
             mask=hit.reshape(H, W),
             cn_normal=cn_normal,
@@ -173,6 +182,7 @@ class RaytraceRenderer(BaseObject):
             fg_viewdir=viewdir[fg_idx],
             fg_tri=tri[fg_idx],
             fg_bary=bary[fg_idx],
+            fg_uv=uv_interp[fg_idx],
         )
 
     # ------------------------------------------------------------------
@@ -204,8 +214,16 @@ class RaytraceRenderer(BaseObject):
             eps = jnp.full((P, 1), self.cfg.change_eps)
         change = (jnp.cos(ang) * x + jnp.sin(ang) * y) * eps
 
-        feats = self.geometry.apply(geo_params, gb.fg_pos)
-        feats_jitter = self.geometry.apply(geo_params, gb.fg_pos + change)
+        if getattr(self.geometry.cfg, "n_input_dims", 3) == 2:
+            # UV-space field (reference raytracing_renderer.py:177-181)
+            ku = jax.random.fold_in(k_jit, 1)
+            feats = self.geometry.apply(geo_params, gb.fg_uv)
+            feats_jitter = self.geometry.apply(
+                geo_params, gb.fg_uv + jax.random.normal(ku, gb.fg_uv.shape) * 0.005
+            )
+        else:
+            feats = self.geometry.apply(geo_params, gb.fg_pos)
+            feats_jitter = self.geometry.apply(geo_params, gb.fg_pos + change)
 
         shade_out, mat_reg = self.material(
             gb.fg_pos, feats, feats_jitter, gb.fg_viewdir, gb.fg_normal,

@@ -229,3 +229,26 @@ def contract_to_unisphere(points, bbox):
     """Normalize points inside an axis-aligned bbox [[min],[max]] to (0,1)."""
     lo, hi = bbox[0], bbox[1]
     return (points - lo) / (hi - lo)
+
+
+def chunk_batch(fn, chunk_size: int, *args):
+    """Apply ``fn`` over fixed-size chunks of the leading axis and
+    concatenate results (reference ops.py:112-176). Static-shape version:
+    pads the last chunk, maps with lax.map, trims. Works for array or
+    dict-of-array outputs."""
+    if chunk_size <= 0:
+        return fn(*args)
+    n = args[0].shape[0]
+    pad = (-n) % chunk_size
+
+    def pad_leaf(x):
+        if pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+
+    padded = [pad_leaf(a) for a in args]
+    chunked = [a.reshape(-1, chunk_size, *a.shape[1:]) for a in padded]
+    out = jax.lax.map(lambda xs: fn(*xs), tuple(chunked))
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape(-1, *x.shape[2:])[:n], out
+    )
