@@ -1,0 +1,59 @@
+"""Batch material generation: many (mesh, prompt) jobs (BASELINE config #5).
+
+The TPU-native scale-out story for generation is data parallelism over
+*meshes* (SURVEY §2.4): each mesh fits one chip, so a pod runs one job per
+chip/host. This driver takes a jobs JSON and processes the shard assigned
+to this host — launch one process per host with ``--shard i/n`` (or rely on
+JAX multi-host env vars to derive it).
+
+jobs.json: [{"mesh": "path.obj", "prompt": "...", "scale": 0.8,
+             "max_steps": 3000}, ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--jobs", required=True)
+    ap.add_argument("--config", default="configs/dreammat.yaml")
+    ap.add_argument("--out", default="outputs/batch")
+    ap.add_argument("--shard", default=None, help="i/n; default from JAX process env")
+    args, extras = ap.parse_known_args()
+
+    import jax
+
+    import dreammat_tpu
+    from launch import main as launch_main
+
+    if args.shard:
+        shard_i, shard_n = (int(x) for x in args.shard.split("/"))
+    else:
+        shard_i = jax.process_index() if jax.process_count() > 1 else 0
+        shard_n = max(jax.process_count(), 1)
+
+    with open(args.jobs) as f:
+        jobs = json.load(f)
+
+    for i, job in enumerate(jobs):
+        if i % shard_n != shard_i:
+            continue
+        dreammat_tpu.info("[job %d/%d] %s :: %s", i + 1, len(jobs), job["mesh"], job["prompt"])
+        argv = [
+            "--config", args.config, "--train",
+            f"system.prompt_processor.prompt={job['prompt']}",
+            f"system.geometry.shape_init=mesh:{job['mesh']}",
+            f"system.geometry.shape_init_params={job.get('scale', 0.9)}",
+            f"trainer.max_steps={job.get('max_steps', 3000)}",
+            f"exp_root_dir={args.out}",
+            "use_timestamp=false",
+        ] + extras
+        launch_main(argv)
+
+
+if __name__ == "__main__":
+    main()
