@@ -110,15 +110,17 @@ class DreamMat(BaseObject):
         loss_cfg = dict(self.cfg.loss)
         optimizer = self.optimizer
 
-        def train_step(state, gbuffer, condition_map, env_id, elevation, azimuth,
-                       camera_distances, rng):
+        def train_step(state, guidance_params, gbuffer, condition_map, env_id,
+                       elevation, azimuth, camera_distances, rng):
+            # guidance_params passed as an argument — NOT closed over — so the
+            # ~5 GB of frozen SD weights are jit inputs, not baked constants
             step = state["step"]
             k_render, k_guide = jax.random.split(rng)
 
             def loss_fn(geo_params):
                 out = renderer.shade_view(geo_params, gbuffer, env_id, k_render, is_train=True)
                 guidance_out = guidance(
-                    guidance.params,
+                    guidance_params,
                     out["comp_rgb"][None],
                     prompt_utils,
                     elevation, azimuth, camera_distances,
@@ -204,8 +206,9 @@ class DreamMat(BaseObject):
             batch = datamodule.collate(step=it)
             rng, k = jax.random.split(rng)
             state, metrics = self._train_step_fn(
-                state, batch["gbuffer"], batch["condition_map"], batch["env_id"],
-                batch["elevation"], batch["azimuth"], batch["camera_distances"], k,
+                state, self.guidance.params, batch["gbuffer"], batch["condition_map"],
+                batch["env_id"], batch["elevation"], batch["azimuth"],
+                batch["camera_distances"], k,
             )
             if (it + 1) % log_every == 0:
                 m = {k_: float(v) for k_, v in metrics.items()}
