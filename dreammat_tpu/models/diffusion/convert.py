@@ -185,3 +185,25 @@ def find_checkpoint_file(model_dir: str, names=("diffusion_pytorch_model", "mode
             if os.path.exists(p):
                 return p
     return None
+
+
+def fast_random_init(rng, init_fn):
+    """Initialize flax params WITHOUT compiling the model's forward pass:
+    ``jax.eval_shape(init_fn)`` gives the param structure, then each leaf is
+    filled directly (normal(0, 0.02); norm scales = 1, biases = 0). For
+    frozen diffusion weights that are either overwritten by a checkpoint or
+    only benchmarked, this cuts minutes of XLA compile per model."""
+    shapes = jax.eval_shape(init_fn)
+    flat = jax.tree_util.tree_flatten_with_path(shapes)[0]
+    treedef = jax.tree_util.tree_structure(shapes)
+    leaves = []
+    for i, (path, s) in enumerate(flat):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "scale":
+            leaves.append(jnp.ones(s.shape, s.dtype))
+        elif name == "bias":
+            leaves.append(jnp.zeros(s.shape, s.dtype))
+        else:
+            k = jax.random.fold_in(rng, i)
+            leaves.append(jax.random.normal(k, s.shape, jnp.float32).astype(s.dtype) * 0.02)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -114,9 +114,14 @@ class StableDiffusionLightGuidance(BaseObject):
         t = jnp.zeros((1,))
         ctx = jnp.zeros((1, 4, cross))
         params: Dict[str, Any] = {}
-        params["unet"] = self.unet.init(k1, sample, t, ctx)
+        # eval_shape-based init: no forward-pass compile for frozen weights
+        params["unet"] = convert.fast_random_init(
+            k1, lambda: self.unet.init(jax.random.PRNGKey(0), sample, t, ctx)
+        )
         f = 2 ** (len(self.vae_cfg.block_out_channels) - 1)
-        params["vae"] = self.vae.init(k2, jnp.zeros((1, h * f, w * f, 3)))
+        params["vae"] = convert.fast_random_init(
+            k2, lambda: self.vae.init(jax.random.PRNGKey(0), jnp.zeros((1, h * f, w * f, 3)))
+        )
         params["controlnets"] = []
         for i, cnet in enumerate(self.controlnets):
             # the conditioning stem downsamples 2^(len(channels)-1); condition
@@ -124,7 +129,12 @@ class StableDiffusionLightGuidance(BaseObject):
             stem = 2 ** (len(cnet.cfg.conditioning_embedding_channels) - 1)
             cond = jnp.zeros((1, h * stem, w * stem, cnet.cfg.conditioning_channels))
             params["controlnets"].append(
-                cnet.init(jax.random.fold_in(k3, i), sample, t, ctx, cond)
+                convert.fast_random_init(
+                    jax.random.fold_in(k3, i),
+                    lambda cnet=cnet, cond=cond: cnet.init(
+                        jax.random.PRNGKey(0), sample, t, ctx, cond
+                    ),
+                )
             )
 
         # load real weights when available
