@@ -102,6 +102,10 @@ class DreamMatMaterial(BaseObject):
         geometry_type: str = "schlick"
         random_azimuth: bool = True
         use_raytracing: bool = True
+        # >0: stream the MC estimator over direction chunks of this size
+        # (lax.scan + remat). Avoids materializing [P, S, 3] intermediates,
+        # which tile-pad catastrophically on TPU (3 -> 128 lanes). 0 = off.
+        shading_chunk: int = 0
 
     cfg: Config
 
@@ -273,6 +277,11 @@ class DreamMatMaterial(BaseObject):
         """MC Cook–Torrance estimator (dreammat_material.py:615-677).
         All inputs are [P,...] fixed-size batches; ``mask`` marks real pixels
         (padding lanes shade garbage but are ignored downstream)."""
+        if self.cfg.shading_chunk > 0 and self.baked_visibility is not None:
+            return self.shade_raytracing_streamed(
+                pts, normals, view_dirs, env_id, metallic, roughness_sq, albedo,
+                rng, is_train, mask=mask, vis_data=vis_data,
+            )
         cfg = self.cfg
         k1, k2 = jax.random.split(rng)
         reflections = uops.reflect(view_dirs, normals)
@@ -330,6 +339,155 @@ class DreamMatMaterial(BaseObject):
             "metalness": metallic,
             "specular_light": uops.lin2srgb(jnp.mean(sg(lights[:, dn:]), axis=1)),
             "diffuse_light": uops.lin2srgb(jnp.mean(sg(lights[:, :dn]), axis=1)),
+            "specular_color": uops.lin2srgb(sg(specular_colors)),
+            "diffuse_color": uops.lin2srgb(sg(diffuse_colors)),
+        }
+
+    def shade_raytracing_streamed(
+        self, pts, normals, view_dirs, env_id, metallic, roughness_sq, albedo,
+        rng, is_train: bool, mask=None, vis_data=None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Chunk-streamed version of :meth:`shade_raytracing` — numerically
+        the same estimator, but the direction axis is consumed by a
+        ``lax.scan`` with a rematerialized body, so peak memory is
+        [P, chunk, 3] instead of [P, dn+sn, 3] (flash-attention-style
+        streaming for the shading integral). Requires baked visibility."""
+        cfg = self.cfg
+        C = cfg.shading_chunk
+        P = pts.shape[0]
+        dn = self.diffuse_dir_samples.shape[0]
+        sn = self.specular_dir_samples.shape[0]
+        k1, k2 = jax.random.split(rng)
+
+        from dreammat_tpu.ops.visibility import lookup_visibility
+
+        tri_verts, bary = vis_data
+        reflections = uops.reflect(view_dirs, normals)
+        F0 = 0.04 * (1.0 - metallic) + metallic * albedo
+        NoV = uops.saturate_dot(normals, view_dirs)  # [P,1]
+
+        # per-pixel frames + one rotation draw per set (matches unchunked)
+        xd = uops.get_orthogonal_directions(normals)
+        yd = jnp.cross(normals, xd)
+        xs = uops.get_orthogonal_directions(reflections)
+        ys = jnp.cross(reflections, xs)
+        if is_train and cfg.random_azimuth:
+            rot_d = jax.random.uniform(k1, (P, 1)) * 2.0 * jnp.pi
+            rot_s = jax.random.uniform(k2, (P, 1)) * 2.0 * jnp.pi
+        else:
+            rot_d = rot_s = jnp.zeros((P, 1))
+
+        geom_fn = (
+            geometry_schlick if cfg.geometry_type == "schlick"
+            else geometry_ggx_smith_correlated
+        )
+
+        def spec_contrib(dirs, prob, lights):
+            """fresnel * lights * D*G/(4 NoV p); summed over the chunk."""
+            Hv = uops.safe_normalize(view_dirs[:, None] + dirs)
+            HoV = uops.saturate_dot(Hv, view_dirs[:, None])
+            fres = fresnel_schlick(F0[:, None], HoV)
+            NoL = uops.saturate_dot(normals[:, None], dirs)
+            geom = geom_fn(NoV[:, None], NoL, roughness_sq[:, None])
+            NoH = uops.saturate_dot(normals[:, None], Hv)
+            dist = distribution_ggx(NoH, roughness_sq[:, None])
+            w = dist * geom / (4.0 * NoV[:, None] * prob + 1e-5)
+            return jnp.sum(fres * lights * w, axis=1)
+
+        def chunk_lights(dirs):
+            vis = lookup_visibility(self.baked_visibility, tri_verts, bary, dirs)
+            env = self.get_environment_light(dirs, env_id)
+            lights = env * vis[..., None]
+            if mask is not None:
+                lights = jnp.where(mask[:, None, None], lights, 0.0)
+            return lights
+
+        def pad_chunks(samples, C):
+            """[N,2] -> ([n_chunks, C, 2], [n_chunks, C] validity)."""
+            N = samples.shape[0]
+            C = min(C, N)
+            padn = (-N) % C
+            ok = jnp.concatenate([jnp.ones(N), jnp.zeros(padn)]).reshape(-1, C)
+            # pad with interior sample values (0.5, 0.5): el=0 pads would make
+            # cos_theta marginally > 1 and sin_theta = sqrt(negative) = NaN,
+            # which poisons the masked-out lanes' fresnel terms
+            s = jnp.concatenate([samples, jnp.full((padn, 2), 0.5)]).reshape(-1, C, 2)
+            return s, ok
+
+        @jax.checkpoint
+        def diffuse_body(carry, xs_in):
+            samp, ok = xs_in  # [C,2], [C]
+            az = samp[:, 0][None, :, None] * (2.0 * jnp.pi)
+            el = samp[:, 1][None, :, None]
+            az = (az + rot_d[:, :, None]) % (2.0 * jnp.pi)
+            el_sqrt = jnp.sqrt(el + 1e-7)
+            cz = jnp.sqrt(1.0 - el + 1e-7)
+            dirs = (
+                el_sqrt * jnp.cos(az) * xd[:, None]
+                + el_sqrt * jnp.sin(az) * yd[:, None]
+                + cz * normals[:, None]
+            )
+            NoL = uops.saturate_dot(dirs, normals[:, None])
+            prob = NoL / jnp.pi * (dn / (dn + sn))
+            lights = chunk_lights(dirs) * ok[None, :, None]
+            spec_sum, dl_sum, sl_sum = carry
+            return (
+                spec_sum + spec_contrib(dirs, prob, lights),
+                dl_sum + jnp.sum(lights, axis=1),
+                sl_sum,
+            ), None
+
+        @jax.checkpoint
+        def specular_body(carry, xs_in):
+            samp, ok = xs_in
+            az = samp[:, 0][None, :, None]
+            el = samp[:, 1][None, :, None]
+            phi = (2.0 * jnp.pi) * az
+            phi = (phi + rot_s[:, :, None]) % (2.0 * jnp.pi)
+            a = roughness_sq[:, None]
+            cos_t = jnp.sqrt(
+                jnp.clip((1.0 - el + 1e-6) / (1.0 + (a**2 - 1.0) * el + 1e-6) + 1e-6, 0.0, 1.0)
+            )
+            sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t**2, 0.0, 1.0) + 1e-6)
+            dirs = (
+                jnp.cos(phi) * sin_t * xs[:, None]
+                + jnp.sin(phi) * sin_t * ys[:, None]
+                + cos_t * reflections[:, None]
+            )
+            Hv = uops.safe_normalize(view_dirs[:, None] + dirs)
+            NoH = uops.saturate_dot(normals[:, None], Hv)
+            VoH = uops.saturate_dot(view_dirs[:, None], Hv)
+            prob = (
+                distribution_ggx(NoH, roughness_sq[:, None]) * NoH
+                / (4.0 * VoH + 1e-5) * (sn / (dn + sn))
+            )
+            lights = chunk_lights(dirs) * ok[None, :, None]
+            spec_sum, dl_sum, sl_sum = carry
+            return (
+                spec_sum + spec_contrib(dirs, prob, lights),
+                dl_sum,
+                sl_sum + jnp.sum(lights, axis=1),
+            ), None
+
+        zeros = jnp.zeros((P, 3))
+        carry = (zeros, zeros, zeros)
+        d_chunks, d_ok = pad_chunks(self.diffuse_dir_samples, C)
+        carry, _ = jax.lax.scan(diffuse_body, carry, (d_chunks, d_ok))
+        s_chunks, s_ok = pad_chunks(self.specular_dir_samples, C)
+        carry, _ = jax.lax.scan(specular_body, carry, (s_chunks, s_ok))
+        spec_sum, dl_sum, sl_sum = carry
+
+        specular_colors = jnp.nan_to_num(spec_sum / (dn + sn))
+        diffuse_colors = albedo * (dl_sum / dn)
+        colors = uops.lin2srgb(diffuse_colors + specular_colors)
+        sg = jax.lax.stop_gradient
+        return {
+            "color": colors,
+            "albedo": uops.lin2srgb(sg(albedo)),
+            "roughness": jnp.sqrt(roughness_sq + 1e-7),
+            "metalness": metallic,
+            "specular_light": uops.lin2srgb(sg(sl_sum / sn)),
+            "diffuse_light": uops.lin2srgb(sg(dl_sum / dn)),
             "specular_color": uops.lin2srgb(sg(specular_colors)),
             "diffuse_color": uops.lin2srgb(sg(diffuse_colors)),
         }

@@ -219,6 +219,11 @@ class DreamMat(BaseObject):
                 )
                 metric_logger.log({**m, "it_per_sec": sps}, it + 1)
                 progress.update(it + 1, max_steps)
+            if (
+                self.cfg.save_train_image
+                and (it + 1) % (save_train_image_iter or self.cfg.save_train_image_iter) == 0
+            ):
+                self.save_train_grid(state, batch, trial_dir, it + 1)
             if val_check_interval and (it + 1) % val_check_interval == 0:
                 self.validation(state, datamodule, trial_dir, it + 1)
             if checkpoint_every and (it + 1) % checkpoint_every == 0:
@@ -228,6 +233,38 @@ class DreamMat(BaseObject):
         return state
 
     # ------------------------------------------------------------------
+    def save_train_grid(self, state, batch, trial_dir: str, step: int) -> str:
+        """Train-time grid: render channels + condition-map slices
+        (reference dreammat.py:88-179 saves 8 render + condition channels)."""
+        out = (self._render_fn or self.make_render_fn())(
+            state["geo"], batch["gbuffer"], batch["env_id"], jax.random.PRNGKey(step)
+        )
+        cond = np.asarray(batch["condition_map"])[0]
+        rows = [
+            [
+                {"img": np.asarray(out["comp_rgb"])},
+                {"img": np.asarray(out["specular_light"])},
+                {"img": np.asarray(out["diffuse_light"])},
+                {"img": np.asarray(out["comp_normal"])},
+                {"img": np.asarray(out["comp_depth"])[..., 0]},
+                {"img": np.asarray(out["albedo"])},
+                {"img": np.asarray(out["roughness"])[..., 0]},
+                {"img": np.asarray(out["metalness"])[..., 0]},
+            ],
+            [
+                {"img": cond[..., 0]},          # depth
+                {"img": cond[..., 1:4]},        # normal
+                {"img": cond[..., 4:7]},        # probe m0r0
+                {"img": cond[..., 7:10]},       # m0r.5
+                {"img": cond[..., 10:13]},      # m0r1
+                {"img": cond[..., 13:16]},      # m1r0
+                {"img": cond[..., 16:19]},      # m1r.5
+                {"img": cond[..., 19:22]},      # m1r1
+            ],
+        ]
+        path = os.path.join(trial_dir, "save", f"it{step}-train.png")
+        return saving.save_image_grid(path, rows)
+
     def validation(self, state, datamodule, trial_dir: str, step: int) -> str:
         """PBR channel grid on a validation view (dreammat.py:182-242)."""
         batch = datamodule.collate(step=step)
