@@ -133,7 +133,13 @@ _flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
 
 def attention(q, k, v, use_pallas: str = "auto"):
     """Dispatch: Pallas flash kernel on TPU, XLA fused attention elsewhere.
-    Differentiable in both paths (custom VJP around the kernel)."""
+    Differentiable in both paths (custom VJP around the kernel).
+    Override with env DREAMMAT_ATTN=pallas|xla for A/B benchmarking."""
+    import os
+
+    override = os.environ.get("DREAMMAT_ATTN")
+    if override:
+        use_pallas = {"pallas": "always", "xla": "never"}.get(override, use_pallas)
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas == "never" or (use_pallas == "auto" and not on_tpu):
         return jax.nn.dot_product_attention(q, k, v)
