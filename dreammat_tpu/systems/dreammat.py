@@ -201,6 +201,7 @@ class DreamMat(BaseObject):
         )
         progress = ProgressWriter(os.path.join(trial_dir, "progress"))
         t0 = time.time()
+        t_warm = None  # set after the first step (separates compile time)
         start_step = int(state["step"])
         for it in range(start_step, max_steps):
             batch = datamodule.collate(step=it)
@@ -210,11 +211,16 @@ class DreamMat(BaseObject):
                 batch["env_id"], batch["elevation"], batch["azimuth"],
                 batch["camera_distances"], k,
             )
+            if t_warm is None:
+                jax.block_until_ready(metrics["loss"])
+                t_warm = time.time()
+                dreammat_tpu.info("first step (incl. compile): %.1fs", t_warm - t0)
             if (it + 1) % log_every == 0:
                 m = {k_: float(v) for k_, v in metrics.items()}
-                sps = (it + 1 - start_step) / (time.time() - t0)
+                warm_steps = it - start_step  # steps after the compile step
+                sps = warm_steps / max(time.time() - t_warm, 1e-6) if warm_steps > 0 else 0.0
                 dreammat_tpu.info(
-                    "step %d loss=%.4f sds=%.4f reg=%.5f (%.2f it/s)",
+                    "step %d loss=%.4f sds=%.4f reg=%.5f (%.2f it/s warm)",
                     it + 1, m["loss"], m["loss_sds"], m["loss_mat_reg"], sps,
                 )
                 metric_logger.log({**m, "it_per_sec": sps}, it + 1)
