@@ -1,0 +1,119 @@
+"""Warm train-step throughput for the full DreamMat pipeline (one chip).
+
+Measures the end-to-end optimization step (hashgrid field -> streamed MC
+shading -> VAE encode -> 3x ControlNet+UNet -> CSD grad -> Adam) at
+flagship scale, excluding compile, and reports the implied wall-clock for a
+3000-step mesh. Complements bench.py (denoise-only north star).
+
+Usage: python bench_train.py [--steps 20] [--height 512] [--mesh path.obj]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=15)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--views", type=int, default=2)
+    ap.add_argument("--mesh", default="/root/reference/threestudio_dreammat/load/shapes/objs/apple.obj")
+    ap.add_argument("--model-size", default="sd21")
+    ap.add_argument("--shading-chunk", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    import dreammat_tpu
+    import dreammat_tpu.data  # registry
+    import dreammat_tpu.models  # registry
+    import dreammat_tpu.systems  # registry
+
+    H = args.height
+    tiny = args.model_size == "tiny"
+    system = dreammat_tpu.find("dreammat-system")(
+        {
+            "init_width": H, "init_height": H,
+            "geometry": {
+                "shape_init": f"mesh:{args.mesh}",
+                "shape_init_params": 0.7,
+                "shape_init_mesh_up": "+y",
+                "shape_init_mesh_front": "+z",
+            },
+            "material": {
+                "environment_texture": "/nonexistent",
+                "diffuse_sample_num": 200,
+                "specular_sample_num": 128,
+                "shading_chunk": args.shading_chunk,
+                "environment_scale": 2.0,
+            },
+            "guidance": {
+                "model_size": args.model_size,
+                "width": H, "height": H,
+                "cache_dir": None, "controlnet_path": None,
+                "half_precision_weights": not tiny,
+                "cond_scale": 1.05,
+                "uncond_scale": [0, -1.0, -0.5, 2000],
+                "null_scale": [0, 0.0, -0.5, 2000],
+                "min_step_percent": [500, 0.2, 0.02, 501],
+                "max_step_percent": [500, 0.8, 0.5, 501],
+            },
+            "prompt_processor": {
+                "prompt": "a benchmark apple", "model_size": args.model_size,
+                "use_cache": False,
+            },
+        }
+    )
+    dm = dreammat_tpu.find("random-camera-datamodule")(
+        {
+            "width": H, "height": H,
+            "fix_view_num": args.views, "fix_env_num": 2,
+            "cond_height": min(H, 256), "cond_width": min(H, 256),
+            "prerender_cache_dir": ".dreammat_tpu_cache/bench",
+        },
+        system.renderer, system.material,
+    )
+    t0 = time.time()
+    dm.setup()
+    t_pre = time.time() - t0
+    dreammat_tpu.info("prerender (%d views): %.1fs", args.views, t_pre)
+
+    state = system.fit(
+        dm, max_steps=args.steps, seed=0, trial_dir="/tmp/bench_train",
+        val_check_interval=0, checkpoint_every=0, log_every=args.steps,
+    )
+    # fit logs warm it/s; recompute here for the JSON line
+    import jax.numpy as jnp
+
+    fn = system._train_step_fn
+    batch = dm.collate(0)
+    rng = jax.random.PRNGKey(0)
+    state, m = fn(state, system.guidance.params, batch["gbuffer"], batch["condition_map"],
+                  batch["env_id"], batch["elevation"], batch["azimuth"],
+                  batch["camera_distances"], rng)
+    jax.block_until_ready(m["loss"])
+    t1 = time.time()
+    n = 10
+    for i in range(n):
+        batch = dm.collate(i)
+        state, m = fn(state, system.guidance.params, batch["gbuffer"], batch["condition_map"],
+                      batch["env_id"], batch["elevation"], batch["azimuth"],
+                      batch["camera_distances"], jax.random.fold_in(rng, i))
+    jax.block_until_ready(m["loss"])
+    dt = time.time() - t1
+    sps = n / dt
+    mins_per_mesh = 3000 / sps / 60
+    print(json.dumps({
+        "metric": "full_train_steps_per_sec",
+        "value": round(sps, 3),
+        "unit": "steps/s",
+        "mins_per_mesh_3000_steps": round(mins_per_mesh, 2),
+        "prerender_secs_per_view": round(t_pre / args.views, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -139,7 +139,16 @@ class RandomCameraDataModule(BaseObject):
         cd = cam_lib.camera_rays_and_matrices(
             self.eval_cameras, i, cfg.eval_height, cfg.eval_width
         )
-        gb = self.renderer.build_gbuffer(cd["rays_o"], cd["rays_d"], cd["w2c"])
+        # one shared pixel budget across eval views => one jitted render shape
+        budget = None
+        if self.data is not None and self.data.gbuffers:
+            scale = (cfg.eval_height * cfg.eval_width) / (cfg.height * cfg.width)
+            budget = int(
+                np.ceil(self.data.gbuffers[0].fg_idx.shape[0] * max(scale, 1.0) / 1024)
+            ) * 1024
+        gb = self.renderer.build_gbuffer(
+            cd["rays_o"], cd["rays_d"], cd["w2c"], pixel_budget=budget
+        )
         return {
             "env_id": jnp.int32(env_id),
             "gbuffer": gb,
