@@ -210,6 +210,9 @@ class MeshExporter(BaseObject):
         albedo = inpaint_padding(maps["albedo"].reshape(res, res, 3), valid)
         metallic = inpaint_padding(maps["metallic"].reshape(res, res, 1), valid)
         roughness = inpaint_padding(maps["roughness"].reshape(res, res, 1), valid)
+        bump = None
+        if "bump" in maps:
+            bump = np.asarray(inpaint_padding(maps["bump"].reshape(res, res, 3), valid))
 
         return saving.save_obj_with_mtl(
             out_dir, self.cfg.save_name,
@@ -217,4 +220,5 @@ class MeshExporter(BaseObject):
             albedo_map=np.asarray(albedo),
             metallic_map=np.asarray(metallic)[..., 0],
             roughness_map=np.asarray(roughness)[..., 0],
+            bump_map=bump,
         )

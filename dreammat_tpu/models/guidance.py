@@ -258,16 +258,36 @@ class StableDiffusionLightGuidance(BaseObject):
         latents_noisy = add_noise(self.schedule, latents, noise, t)
 
         scales = self.condition_scales_at(step) if cfg.use_controlnet else []
-        if cfg.use_controlnet and condition_map is not None:
-            # resize condition stack to the guidance resolution
-            # (prepare_image_cond, dreammat_guidance.py:518-534)
-            if condition_map.shape[1] != cfg.height or condition_map.shape[2] != cfg.width:
-                condition_map = jax.image.resize(
-                    condition_map,
-                    (condition_map.shape[0], cfg.height, cfg.width, condition_map.shape[-1]),
+
+        def prep(cond, want_channels=None):
+            """Resize to guidance res; grayscale -> 3ch for depth controlnets
+            (prepare_image_cond, dreammat_guidance.py:518-534)."""
+            if cond is None:
+                return None
+            if want_channels == 3 and cond.shape[-1] == 1:
+                cond = jnp.repeat(cond, 3, axis=-1)
+            if cond.shape[1] != cfg.height or cond.shape[2] != cfg.width:
+                cond = jax.image.resize(
+                    cond, (cond.shape[0], cfg.height, cfg.width, cond.shape[-1]),
                     method="linear",
                 )
-            image_cond = [condition_map]
+            return cond
+
+        if cfg.use_controlnet:
+            # per control type: 'light' consumes the 22-ch stack; 'depth' and
+            # 'normal' reuse slices of it (channels 0 and 1:4)
+            image_cond = []
+            for ct in cfg.control_types:
+                if ct == "light":
+                    image_cond.append(prep(condition_map))
+                elif ct == "depth":
+                    image_cond.append(prep(condition_map[..., 0:1], want_channels=3))
+                elif ct == "normal":
+                    image_cond.append(prep(condition_map[..., 1:4]))
+                else:
+                    raise ValueError(f"unsupported control type {ct}")
+            if condition_map is None:
+                image_cond = None
         else:
             image_cond = None
 

@@ -555,9 +555,15 @@ class DreamMatMaterial(BaseObject):
 
     def export(self, features: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """Texel-space export maps (dreammat_material.py:765-797)."""
-        _, albedo, metallic, roughness_sq = self.features_to_material(features)
-        return {
+        material, albedo, metallic, roughness_sq = self.features_to_material(features)
+        out = {
             "albedo": albedo,
             "metallic": metallic,
             "roughness": jnp.sqrt(roughness_sq + 1e-7),
         }
+        if self.cfg.use_bump and material.shape[-1] >= 8:
+            # tangent-space normal perturbation (dreammat_material.py:785-795)
+            perturb = (material[..., 5:8] * 2.0 - 1.0) + jnp.asarray([0.0, 0.0, 1.0])
+            perturb = uops.safe_normalize(jnp.clip(perturb, -1.0, 1.0))
+            out["bump"] = (perturb + 1.0) / 2.0
+        return out
