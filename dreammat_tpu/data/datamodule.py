@@ -120,10 +120,16 @@ class RandomCameraDataModule(BaseObject):
             axis=-1,
         ).astype(np.float32)  # [h,w,22]
         cam = self.cameras
+        light_table = None
+        if self.data.light_tables is not None:
+            light_table = jnp.asarray(
+                self.data.light_tables[view_id, env_id], dtype=jnp.float32
+            )
         return {
             "view_id": view_id,
             "env_id": jnp.int32(env_id),
             "gbuffer": self.data.gbuffers[view_id],
+            "light_table": light_table,
             "condition_map": jnp.asarray(cond)[None],  # [1,h,w,22]
             "elevation": jnp.asarray([cam.elevation_deg[view_id]]),
             "azimuth": jnp.asarray([cam.azimuth_deg[view_id]]),

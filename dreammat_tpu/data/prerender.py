@@ -39,7 +39,11 @@ from dreammat_tpu.models.material import (
 from dreammat_tpu.utils import ops as uops
 
 PROBE_MR = [(0.0, 0.0), (0.0, 0.5), (0.0, 1.0), (1.0, 0.0), (1.0, 0.5), (1.0, 1.0)]
-SPEC_ROUGHNESS = [0.0, 0.5, 1.0]  # linear roughness of the 3 specular sets
+SPEC_ROUGHNESS = [0.0, 0.5, 1.0]  # linear roughness of the 3 probe specular sets
+# GGX alpha (= roughness^2) levels of the per-pixel prefiltered-light table;
+# indices 0/2/4 double as the probe sets (alpha = probe_roughness^2)
+TABLE_ALPHAS = (1e-3, 0.08, 0.25, 0.5, 1.0)
+_PROBE_SET_IDX = {0.0: 0, 0.5: 2, 1.0: 4}  # probe linear roughness -> set index
 
 
 def render_probes_for_view(
@@ -50,13 +54,23 @@ def render_probes_for_view(
     rng: jax.Array,
     chunk: int = 4096,
 ) -> jnp.ndarray:
-    """Returns [n_envs, H, W, 18] probe stacks for one precomputed G-buffer.
-    18 = 6 probes x RGB in the reference channel order (m0r0, m0r.5, m0r1,
-    m1r0, m1r.5, m1r1), sRGB-encoded like the Blender PNGs."""
+    """Renders, for one precomputed G-buffer:
+    - probe stacks [n_envs, H, W, 18] (reference channel order m0r0..m1r1,
+      sRGB-encoded like the Blender PNGs), and
+    - per-pixel visibility-aware split-sum light tables
+      [n_envs, P, 1+K, 3]: slot 0 = diffuse irradiance estimate E_d
+      (mean of visibility-masked radiance over the cosine set — exactly the
+      reference's diffuse estimator), slots 1..K = GGX-prefiltered radiance
+      S_k = sum(L*Gvis)/sum(Gvis) at TABLE_ALPHAS. The tables turn the
+      per-step shading into table lookups (material.shade_prefiltered),
+      removing all per-step visibility/environment gathers.
+    One direction/visibility pass is amortized over all probes, table
+    levels, and environments."""
     H, W = gb.mask.shape
     P = gb.fg_pos.shape[0]
     dn = material.diffuse_dir_samples.shape[0]
     sn = material.specular_dir_samples.shape[0]
+    K = len(TABLE_ALPHAS)
 
     def shade_chunk(args):
         pos, normal, viewdir, valid, tri, bary, key = args
@@ -65,15 +79,15 @@ def render_probes_for_view(
         refl = uops.reflect(viewdir, normal)
         d_dirs = material.sample_diffuse_directions(normal, k1, is_train=False)
         s_dirs = []
-        for r in SPEC_ROUGHNESS:
-            alpha = jnp.full((pc, 1), max(r * r, 1e-3))
+        for alpha in TABLE_ALPHAS:
+            a = jnp.full((pc, 1), alpha)
             s_dirs.append(
-                material.sample_specular_directions(refl, alpha, k2, is_train=False)
+                material.sample_specular_directions(refl, a, k2, is_train=False)
             )
-        all_dirs = jnp.concatenate([d_dirs] + s_dirs, axis=1)  # [pc, dn+3sn, 3]
+        all_dirs = jnp.concatenate([d_dirs] + s_dirs, axis=1)  # [pc, dn+K*sn, 3]
         S = all_dirs.shape[1]
 
-        # one visibility pass for all probes x envs
+        # one visibility pass for everything
         if material.baked_visibility is not None:
             from dreammat_tpu.ops.visibility import lookup_visibility
 
@@ -87,36 +101,52 @@ def render_probes_for_view(
             vis = jnp.ones((pc, S))
 
         NoV = uops.saturate_dot(normal, viewdir)[:, None]
+
+        # per-level Gvis weights (independent of env): w = G*VoH/(NoV*NoH)
+        level_data = []
+        for li, alpha in enumerate(TABLE_ALPHAS):
+            sd = all_dirs[:, dn + li * sn : dn + (li + 1) * sn]
+            Hv = uops.safe_normalize(viewdir[:, None] + sd)
+            NoH = uops.saturate_dot(normal[:, None], Hv)
+            VoH = uops.saturate_dot(viewdir[:, None], Hv)
+            NoL = uops.saturate_dot(normal[:, None], sd)
+            D = distribution_ggx(NoH, jnp.asarray(alpha))
+            G = geometry_schlick(NoV, NoL, jnp.asarray(alpha))
+            pdf = D * NoH / (4.0 * VoH + 1e-5)
+            w = D * G / (4.0 * NoV * pdf + 1e-5)  # == G*VoH/(NoV*NoH)
+            Fr04 = fresnel_schlick(jnp.asarray(0.04), VoH)
+            Fr1 = fresnel_schlick(jnp.asarray(1.0), VoH)
+            level_data.append((sd, w, Fr04, Fr1))
+
         imgs = []
+        tables = []
         for env_id in range(n_envs):
             env_rad = material.get_environment_light(all_dirs, jnp.int32(env_id))
             lights = env_rad * vis[..., None]  # [pc,S,3]
             Ld = lights[:, :dn]
+            E_d = jnp.mean(Ld, axis=1)  # [pc,3]
+
+            # table: E_d + normalized prefiltered radiance per level
+            tab = [E_d]
+            for li in range(K):
+                _, w, _, _ = level_data[li]
+                Ls = lights[:, dn + li * sn : dn + (li + 1) * sn]
+                S_l = jnp.sum(Ls * w, axis=1) / (jnp.sum(w, axis=1) + 1e-6)
+                tab.append(jnp.nan_to_num(S_l))
+            tables.append(jnp.stack(tab, axis=1))  # [pc, 1+K, 3]
+
+            # probe images (exact per-probe estimator, reference parity)
             per_probe = []
             for (m, r) in PROBE_MR:
-                alpha = max(r * r, 1e-3)
-                F0 = 0.04 * (1 - m) + m * 1.0  # white base color
-                # diffuse: kd = albedo*(1-m); cosine-set estimator = kd*mean(L)
-                diffuse = (1.0 - m) * jnp.mean(Ld, axis=1)
-                # specular from the matching roughness direction set
-                ridx = SPEC_ROUGHNESS.index(r)
-                sd = all_dirs[:, dn + ridx * sn : dn + (ridx + 1) * sn]
-                Ls = lights[:, dn + ridx * sn : dn + (ridx + 1) * sn]
-                Hv = uops.safe_normalize(viewdir[:, None] + sd)
-                NoH = uops.saturate_dot(normal[:, None], Hv)
-                VoH = uops.saturate_dot(viewdir[:, None], Hv)
-                NoL = uops.saturate_dot(normal[:, None], sd)
-                D = distribution_ggx(NoH, jnp.asarray(alpha))
-                G = geometry_schlick(NoV, NoL, jnp.asarray(alpha))
-                Fr = fresnel_schlick(jnp.asarray(F0), VoH)
-                pdf = D * NoH / (4.0 * VoH + 1e-5)
-                spec = jnp.mean(Fr * Ls * D * G / (4.0 * NoV * pdf + 1e-5), axis=1)
-                # XLA fusion can reassociate the D/pdf cancellation into
-                # inf*0 at mirror-alpha silhouette pixels; scrub like the
-                # reference does (torch.nan_to_num, dreammat_guidance.py:584)
+                li = _PROBE_SET_IDX[r]
+                sd, w, Fr04, Fr1 = level_data[li]
+                Fr = Fr1 if m == 1.0 else Fr04
+                Ls = lights[:, dn + li * sn : dn + (li + 1) * sn]
+                diffuse = (1.0 - m) * E_d
+                spec = jnp.mean(Fr * Ls * w, axis=1)
                 per_probe.append(uops.lin2srgb(jnp.nan_to_num(diffuse + spec)))
             imgs.append(jnp.concatenate(per_probe, axis=-1))  # [pc, 18]
-        return jnp.stack(imgs)  # [n_envs, pc, 18]
+        return jnp.stack(imgs), jnp.stack(tables)  # [n_envs,pc,18], [n_envs,pc,1+K,3]
 
     # chunked map over fg pixels
     pad = (-P) % chunk
@@ -136,17 +166,19 @@ def render_probes_for_view(
     n_chunks = pos_c.shape[0]
     keys = jax.random.split(rng, n_chunks)
 
-    out = jax.lax.map(shade_chunk, (pos_c, nrm_c, vdr_c, val_c, tri_c, bar_c, keys))
-    # [n_chunks, n_envs, chunk, 18] -> [n_envs, P, 18]
+    out, tabs = jax.lax.map(shade_chunk, (pos_c, nrm_c, vdr_c, val_c, tri_c, bar_c, keys))
+    # [n_chunks, n_envs, chunk, ...] -> [n_envs, P, ...]
     out = jnp.moveaxis(out, 1, 0).reshape(n_envs, -1, 18)[:, :P]
+    tabs = jnp.moveaxis(tabs, 1, 0).reshape(n_envs, -1, 1 + K, 3)[:, :P]
 
-    # scatter into full images (background = 0, matching Blender transparent bg)
+    # scatter probes into full images (background = 0, like Blender's
+    # transparent background)
     img = jnp.zeros((n_envs, H * W, 18))
     vals = jnp.where(gb.fg_valid[None, :, None], out, 0.0)
     img = img.at[:, gb.fg_idx].add(vals)
     maskf = gb.mask.reshape(1, -1, 1).astype(jnp.float32)
     img = img * maskf
-    return img.reshape(n_envs, H, W, 18)
+    return img.reshape(n_envs, H, W, 18), tabs
 
 
 @dataclass
@@ -157,6 +189,9 @@ class PrerenderData:
     lightmaps: np.ndarray          # [n_views, n_envs, h, w, 18] float16 (host RAM)
     depths: np.ndarray             # [n_views, h, w, 1] float16
     normals: np.ndarray            # [n_views, h, w, 3] float16
+    # per-pixel visibility-aware split-sum tables (fast shading path):
+    # [n_views, n_envs, P, 1+K, 3] float16, or None
+    light_tables: "np.ndarray | None" = None
     cond_height: int = 256
     cond_width: int = 256
 
@@ -230,37 +265,47 @@ def prerender(
 
     if cache_path and os.path.exists(cache_path):
         z = np.load(cache_path)
-        dreammat_tpu.info("loaded prerender cache %s", cache_path)
-        return PrerenderData(
-            gbuffers=gbuffers,
-            lightmaps=z["lightmaps"],
-            depths=z["depths"],
-            normals=z["normals"],
-            cond_height=cond_height,
-            cond_width=cond_width,
-        )
+        if "light_tables" in z:
+            dreammat_tpu.info("loaded prerender cache %s", cache_path)
+            return PrerenderData(
+                gbuffers=gbuffers,
+                lightmaps=z["lightmaps"],
+                depths=z["depths"],
+                normals=z["normals"],
+                light_tables=z["light_tables"],
+                cond_height=cond_height,
+                cond_width=cond_width,
+            )
+        dreammat_tpu.info("prerender cache %s lacks light tables; regenerating", cache_path)
 
     key = jax.random.PRNGKey(seed)
+    K1 = 1 + len(TABLE_ALPHAS)
+    max_p = gbuffers[0].fg_idx.shape[0]
     lightmaps = np.zeros((len(cam), n_envs, cond_height, cond_width, 18), dtype=np.float16)
+    light_tables = np.zeros((len(cam), n_envs, max_p, K1, 3), dtype=np.float16)
     depths = np.zeros((len(cam), cond_height, cond_width, 1), dtype=np.float16)
     normals = np.zeros((len(cam), cond_height, cond_width, 3), dtype=np.float16)
     for i, gb in enumerate(gbuffers):
-        probes = render_probes_for_view(
+        probes, tabs = render_probes_for_view(
             renderer, material, gb, n_envs, jax.random.fold_in(key, i), chunk=probe_chunk
         )
         for e in range(n_envs):
             lightmaps[i, e] = _resize_map(probes[e], cond_height, cond_width)
+        light_tables[i] = np.asarray(tabs, dtype=np.float16)
         depths[i] = _resize_map(gb.cn_depth, cond_height, cond_width)
         normals[i] = _resize_map(gb.cn_normal, cond_height, cond_width)
         if (i + 1) % 16 == 0:
             dreammat_tpu.info("prerender: %d/%d views", i + 1, len(cam))
 
     if cache_path:
-        np.savez_compressed(cache_path, lightmaps=lightmaps, depths=depths, normals=normals)
+        np.savez_compressed(
+            cache_path, lightmaps=lightmaps, depths=depths, normals=normals,
+            light_tables=light_tables,
+        )
         dreammat_tpu.info("saved prerender cache %s", cache_path)
     return PrerenderData(
         gbuffers=gbuffers, lightmaps=lightmaps, depths=depths, normals=normals,
-        cond_height=cond_height, cond_width=cond_width,
+        light_tables=light_tables, cond_height=cond_height, cond_width=cond_width,
     )
 
 

@@ -106,6 +106,12 @@ class DreamMatMaterial(BaseObject):
         # (lax.scan + remat). Avoids materializing [P, S, 3] intermediates,
         # which tile-pad catastrophically on TPU (3 -> 128 lanes). 0 = off.
         shading_chunk: int = 0
+        # use the prerendered per-pixel visibility-aware split-sum tables
+        # (data/prerender.py) when the renderer provides them: the per-step
+        # shading becomes a table interpolation + FG-LUT fetch, removing all
+        # per-step environment/visibility gathers. Fast training default;
+        # exact per-step MC remains for eval/parity.
+        use_prefiltered: bool = False
 
     cfg: Config
 
@@ -492,6 +498,59 @@ class DreamMatMaterial(BaseObject):
             "diffuse_color": uops.lin2srgb(sg(diffuse_colors)),
         }
 
+    def shade_prefiltered(
+        self, normals, view_dirs, metallic, roughness_sq, albedo, light_table,
+    ) -> Dict[str, jnp.ndarray]:
+        """Per-pixel visibility-aware split-sum shading.
+
+        ``light_table`` [P, 1+K, 3] from data/prerender.py: slot 0 = diffuse
+        irradiance E_d (the reference's diffuse estimator precomputed); slots
+        1..K = GGX-prefiltered radiance at TABLE_ALPHAS. Then
+
+            color = albedo * E_d + (F0 * fgA + fgB) * S(roughness)
+
+        — the Karis split-sum factorization of the reference's specular
+        estimator (weights w = G*VoH/(NoV*NoH) match the FG LUT's Gvis), with
+        per-pixel shadowed light instead of a global environment."""
+        from dreammat_tpu.data.prerender import TABLE_ALPHAS
+
+        if self.fg_lut is None:
+            self.fg_lut = envmap_lib.compute_fg_lut()
+        levels = jnp.asarray(TABLE_ALPHAS, dtype=jnp.float32)
+        K = levels.shape[0]
+        E_d = light_table[:, 0].astype(jnp.float32)
+        S = light_table[:, 1:].astype(jnp.float32)  # [P,K,3]
+
+        r = jnp.clip(roughness_sq[:, 0], levels[0], levels[-1])
+        idx = jnp.clip(jnp.searchsorted(levels, r, side="right") - 1, 0, K - 2)
+        lo = levels[idx]
+        hi = levels[idx + 1]
+        w = ((r - lo) / (hi - lo + 1e-9))[:, None]
+        S_lo = jnp.take_along_axis(S, idx[:, None, None].repeat(3, -1), axis=1)[:, 0]
+        S_hi = jnp.take_along_axis(S, (idx + 1)[:, None, None].repeat(3, -1), axis=1)[:, 0]
+        S_r = S_lo * (1 - w) + S_hi * w
+
+        NoV = uops.saturate_dot(normals, view_dirs)
+        fg = envmap_lib.sample_fg_lut(
+            self.fg_lut, jnp.clip(NoV, 0.0, 1.0),
+            jnp.sqrt(jnp.clip(roughness_sq, 0.0, 1.0)),
+        )
+        F0 = 0.04 * (1.0 - metallic) + metallic * albedo
+        specular_colors = (F0 * fg[..., 0:1] + fg[..., 1:2]) * S_r
+        diffuse_colors = albedo * E_d
+        colors = uops.lin2srgb(diffuse_colors + specular_colors)
+        sg = jax.lax.stop_gradient
+        return {
+            "color": colors,
+            "albedo": uops.lin2srgb(sg(albedo)),
+            "roughness": jnp.sqrt(roughness_sq + 1e-7),
+            "metalness": metallic,
+            "specular_light": uops.lin2srgb(sg(S_r)),
+            "diffuse_light": uops.lin2srgb(sg(E_d)),
+            "specular_color": uops.lin2srgb(sg(specular_colors)),
+            "diffuse_color": uops.lin2srgb(sg(diffuse_colors)),
+        }
+
     def shade_splitsum(self, normals, view_dirs, env_id, metallic, roughness, albedo):
         """Prefiltered-environment fast path (dreammat_material.py:679-711).
         Here ``roughness`` is linear (range min_roughness..max_roughness)."""
@@ -533,6 +592,7 @@ class DreamMatMaterial(BaseObject):
         is_train: bool = True,
         mask: Optional[jnp.ndarray] = None,
         vis_data=None,
+        light_table: Optional[jnp.ndarray] = None,
     ):
         """Shade a fixed-size pixel batch; returns (outputs, mat_reg_loss)
         (forward, dreammat_material.py:713-763)."""
@@ -540,10 +600,15 @@ class DreamMatMaterial(BaseObject):
         material_j, *_ = self.features_to_material(features_jitter)
         mat_reg = material_smoothness_grad(material, material_j)
         if self.cfg.use_raytracing:
-            out = self.shade_raytracing(
-                pts, normals, viewdirs, env_id, metallic, roughness_sq, albedo,
-                rng, is_train, mask=mask, vis_data=vis_data,
-            )
+            if self.cfg.use_prefiltered and light_table is not None:
+                out = self.shade_prefiltered(
+                    normals, viewdirs, metallic, roughness_sq, albedo, light_table
+                )
+            else:
+                out = self.shade_raytracing(
+                    pts, normals, viewdirs, env_id, metallic, roughness_sq, albedo,
+                    rng, is_train, mask=mask, vis_data=vis_data,
+                )
         else:
             act = uops.get_activation(self.cfg.material_activation)(features)
             roughness = (

@@ -195,6 +195,7 @@ class RaytraceRenderer(BaseObject):
         is_train: bool = True,
         height: Optional[int] = None,
         width: Optional[int] = None,
+        light_table: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """The per-step differentiable path: field query + shade + scatter.
         Jit-safe (all fixed shapes, rng explicit)."""
@@ -228,7 +229,7 @@ class RaytraceRenderer(BaseObject):
         shade_out, mat_reg = self.material(
             gb.fg_pos, feats, feats_jitter, gb.fg_viewdir, gb.fg_normal,
             env_id, k_shade, is_train=is_train, mask=gb.fg_valid,
-            vis_data=(gb.fg_tri, gb.fg_bary),
+            vis_data=(gb.fg_tri, gb.fg_bary), light_table=light_table,
         )
 
         maskf = gb.mask.reshape(-1, 1).astype(jnp.float32)

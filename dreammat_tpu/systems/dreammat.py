@@ -111,14 +111,17 @@ class DreamMat(BaseObject):
         optimizer = self.optimizer
 
         def train_step(state, guidance_params, gbuffer, condition_map, env_id,
-                       elevation, azimuth, camera_distances, rng):
+                       elevation, azimuth, camera_distances, rng, light_table=None):
             # guidance_params passed as an argument — NOT closed over — so the
             # ~5 GB of frozen SD weights are jit inputs, not baked constants
             step = state["step"]
             k_render, k_guide = jax.random.split(rng)
 
             def loss_fn(geo_params):
-                out = renderer.shade_view(geo_params, gbuffer, env_id, k_render, is_train=True)
+                out = renderer.shade_view(
+                    geo_params, gbuffer, env_id, k_render, is_train=True,
+                    light_table=light_table,
+                )
                 guidance_out = guidance(
                     guidance_params,
                     out["comp_rgb"][None],
@@ -209,7 +212,7 @@ class DreamMat(BaseObject):
             state, metrics = self._train_step_fn(
                 state, self.guidance.params, batch["gbuffer"], batch["condition_map"],
                 batch["env_id"], batch["elevation"], batch["azimuth"],
-                batch["camera_distances"], k,
+                batch["camera_distances"], k, batch.get("light_table"),
             )
             if t_warm is None:
                 jax.block_until_ready(metrics["loss"])
