@@ -48,6 +48,7 @@ def main():
                 "diffuse_sample_num": 200,
                 "specular_sample_num": 128,
                 "shading_chunk": args.shading_chunk,
+                "use_prefiltered": True,
                 "environment_scale": 2.0,
             },
             "guidance": {
