@@ -1,0 +1,58 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreammat_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, shard_batch, shard_rays, tp_shard_params,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
+    return make_mesh(n_data=4, n_model=2)
+
+
+def test_mesh_axes(mesh8):
+    assert dict(mesh8.shape) == {"data": 4, "model": 2}
+
+
+def test_batch_sharding_roundtrip(mesh8):
+    x = jnp.arange(8 * 3, dtype=jnp.float32).reshape(8, 3)
+    xs = shard_batch(mesh8, x)
+    assert np.allclose(np.asarray(xs), np.asarray(x))
+
+
+def test_tp_sharded_unet_matches_replicated(mesh8):
+    """Tensor-parallel param placement must not change the math — XLA inserts
+    the collectives; outputs stay identical."""
+    from dreammat_tpu.models.diffusion.unet import UNet2DCondition, UNetConfig
+
+    cfg = UNetConfig.tiny()
+    model = UNet2DCondition(cfg)
+    sample = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    t = jnp.asarray([3.0, 7.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 6, cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(2), sample, t, ctx)
+
+    ref = model.apply(params, sample, t, ctx)
+    sharded = tp_shard_params(mesh8, params)
+    # verify at least one kernel actually got a model-axis sharding
+    specs = [
+        x.sharding.spec for x in jax.tree_util.tree_leaves(sharded)
+        if hasattr(x, "sharding") and hasattr(x.sharding, "spec")
+    ]
+    assert any("model" in str(s) for s in specs), specs
+    out = jax.jit(model.apply)(sharded, sample, t, ctx)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_shard_rays_matches_local(mesh8):
+    def fn(x, y):
+        return x * 2.0 + y
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (37, 4))
+    y = jnp.ones((37, 4))
+    out = shard_rays(mesh8, fn, x, y)
+    assert np.allclose(np.asarray(out), np.asarray(x * 2 + y), atol=1e-6)
