@@ -96,21 +96,34 @@ def main():
                   batch["env_id"], batch["elevation"], batch["azimuth"],
                   batch["camera_distances"], rng)
     jax.block_until_ready(m["loss"])
-    t1 = time.time()
     n = 10
+    # (a) fixed batch: pure device step rate (no host collate / H2D)
+    t1 = time.time()
+    for i in range(n):
+        state, m = fn(state, system.guidance.params, batch["gbuffer"], batch["condition_map"],
+                      batch["env_id"], batch["elevation"], batch["azimuth"],
+                      batch["camera_distances"], jax.random.fold_in(rng, i),
+                      batch.get("light_table"))
+    jax.block_until_ready(m["loss"])
+    sps_device = n / (time.time() - t1)
+    # (b) fresh batch each step: includes collate + transfers
+    t1 = time.time()
     for i in range(n):
         batch = dm.collate(i)
         state, m = fn(state, system.guidance.params, batch["gbuffer"], batch["condition_map"],
                       batch["env_id"], batch["elevation"], batch["azimuth"],
-                      batch["camera_distances"], jax.random.fold_in(rng, i))
+                      batch["camera_distances"], jax.random.fold_in(rng, i),
+                      batch.get("light_table"))
     jax.block_until_ready(m["loss"])
     dt = time.time() - t1
     sps = n / dt
+    dreammat_tpu.info("device-only %.2f it/s, with-collate %.2f it/s", sps_device, sps)
     mins_per_mesh = 3000 / sps / 60
     print(json.dumps({
         "metric": "full_train_steps_per_sec",
         "value": round(sps, 3),
         "unit": "steps/s",
+        "device_only_steps_per_sec": round(sps_device, 3),
         "mins_per_mesh_3000_steps": round(mins_per_mesh, 2),
         "prerender_secs_per_view": round(t_pre / args.views, 2),
     }))
