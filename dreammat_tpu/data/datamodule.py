@@ -58,6 +58,7 @@ class RandomCameraDataModule(BaseObject):
         prerender_seed: int = 0
         probe_chunk: int = 4096
         pixel_budget: int = 0
+        prerender_spec_samples: int = 64
         seed: int = 0
 
     cfg: Config
@@ -94,6 +95,7 @@ class RandomCameraDataModule(BaseObject):
             cond_height=cfg.cond_height, cond_width=cfg.cond_width,
             probe_chunk=cfg.probe_chunk,
             pixel_budget=cfg.pixel_budget or None,
+            prerender_spec_samples=cfg.prerender_spec_samples,
         )
         if cfg.blender_generate and cfg.reference_cache_dir:
             lm, d, n = prerender_lib.load_reference_png_cache(

@@ -53,59 +53,71 @@ def render_probes_for_view(
     n_envs: int,
     rng: jax.Array,
     chunk: int = 4096,
-) -> jnp.ndarray:
+    lvis=None,            # [E, V, O2, 3] shadowed-radiance cache (ops/visibility.py)
+    e_d_vertex=None,      # [E, V, 3] per-vertex diffuse irradiance
+    oct_res: int = 16,
+    spec_samples=None,    # [sn_pre, 2] fibonacci set for the prerender pass
+):
     """Renders, for one precomputed G-buffer:
     - probe stacks [n_envs, H, W, 18] (reference channel order m0r0..m1r1,
       sRGB-encoded like the Blender PNGs), and
     - per-pixel visibility-aware split-sum light tables
-      [n_envs, P, 1+K, 3]: slot 0 = diffuse irradiance estimate E_d
-      (mean of visibility-masked radiance over the cosine set — exactly the
-      reference's diffuse estimator), slots 1..K = GGX-prefiltered radiance
-      S_k = sum(L*Gvis)/sum(Gvis) at TABLE_ALPHAS. The tables turn the
-      per-step shading into table lookups (material.shade_prefiltered),
-      removing all per-step visibility/environment gathers.
-    One direction/visibility pass is amortized over all probes, table
-    levels, and environments."""
+      [n_envs, P, 1+K, 3]: slot 0 = diffuse irradiance E_d, slots 1..K =
+      GGX-prefiltered radiance S_k at TABLE_ALPHAS. The tables turn the
+      per-step shading into table lookups (material.shade_prefiltered).
+
+    Perf structure: the diffuse irradiance is view-INdependent, so it comes
+    from the per-vertex bake (one mesh-wide computation shared by all views);
+    the per-view work is only the K specular levels, whose shadowed radiance
+    is 3 gathers/sample from the fused env x visibility vertex cache."""
+    from dreammat_tpu.ops import visibility as vis_lib
+
     H, W = gb.mask.shape
     P = gb.fg_pos.shape[0]
-    dn = material.diffuse_dir_samples.shape[0]
-    sn = material.specular_dir_samples.shape[0]
     K = len(TABLE_ALPHAS)
+    if lvis is None or e_d_vertex is None:
+        baked = material.baked_visibility
+        if baked is None:
+            baked = vis_lib.bake_vertex_visibility(
+                renderer.bvh, renderer.mesh.v_pos, renderer.mesh.v_nrm
+            )
+        oct_res = baked.oct_res
+        lvis = vis_lib.bake_shadowed_radiance(baked, material.envs[:n_envs])
+        e_d_vertex = vis_lib.bake_vertex_irradiance(
+            baked, lvis, renderer.mesh.v_nrm, material.diffuse_dir_samples
+        )
+    if spec_samples is None:
+        spec_samples = material.specular_dir_samples
+    sn = spec_samples.shape[0]
+    az_s = spec_samples[:, 0]
+    el_s = spec_samples[:, 1]
 
     def shade_chunk(args):
         pos, normal, viewdir, valid, tri, bary, key = args
         pc = pos.shape[0]
-        k1, k2 = jax.random.split(key)
         refl = uops.reflect(viewdir, normal)
-        d_dirs = material.sample_diffuse_directions(normal, k1, is_train=False)
+        xs_ = uops.get_orthogonal_directions(refl)
+        ys_ = jnp.cross(refl, xs_)
         s_dirs = []
         for alpha in TABLE_ALPHAS:
-            a = jnp.full((pc, 1), alpha)
+            phi = (2.0 * jnp.pi) * az_s[None, :, None]
+            el = el_s[None, :, None]
+            cos_t = jnp.sqrt(jnp.clip(
+                (1.0 - el + 1e-6) / (1.0 + (alpha**2 - 1.0) * el + 1e-6) + 1e-6,
+                0.0, 1.0))
+            sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t**2, 0.0, 1.0) + 1e-6)
             s_dirs.append(
-                material.sample_specular_directions(refl, a, k2, is_train=False)
+                jnp.cos(phi) * sin_t * xs_[:, None]
+                + jnp.sin(phi) * sin_t * ys_[:, None]
+                + cos_t * refl[:, None]
             )
-        all_dirs = jnp.concatenate([d_dirs] + s_dirs, axis=1)  # [pc, dn+K*sn, 3]
-        S = all_dirs.shape[1]
-
-        # one visibility pass for everything
-        if material.baked_visibility is not None:
-            from dreammat_tpu.ops.visibility import lookup_visibility
-
-            vis = lookup_visibility(material.baked_visibility, tri, bary, all_dirs)
-        elif material.ray_trace_fun is not None:
-            pts = jnp.broadcast_to(pos[:, None], all_dirs.shape).reshape(-1, 3)
-            dirs_flat = all_dirs.reshape(-1, 3)
-            _, _, _, occl = material.ray_trace_fun(pts + dirs_flat * 1e-5, dirs_flat)
-            vis = 1.0 - occl.reshape(pc, S).astype(jnp.float32)
-        else:
-            vis = jnp.ones((pc, S))
+        all_dirs = jnp.concatenate(s_dirs, axis=1)  # [pc, K*sn, 3]
 
         NoV = uops.saturate_dot(normal, viewdir)[:, None]
-
         # per-level Gvis weights (independent of env): w = G*VoH/(NoV*NoH)
         level_data = []
         for li, alpha in enumerate(TABLE_ALPHAS):
-            sd = all_dirs[:, dn + li * sn : dn + (li + 1) * sn]
+            sd = all_dirs[:, li * sn : (li + 1) * sn]
             Hv = uops.safe_normalize(viewdir[:, None] + sd)
             NoH = uops.saturate_dot(normal[:, None], Hv)
             VoH = uops.saturate_dot(viewdir[:, None], Hv)
@@ -116,37 +128,41 @@ def render_probes_for_view(
             w = D * G / (4.0 * NoV * pdf + 1e-5)  # == G*VoH/(NoV*NoH)
             Fr04 = fresnel_schlick(jnp.asarray(0.04), VoH)
             Fr1 = fresnel_schlick(jnp.asarray(1.0), VoH)
-            level_data.append((sd, w, Fr04, Fr1))
+            level_data.append((w, Fr04, Fr1))
 
         imgs = []
         tables = []
         for env_id in range(n_envs):
-            env_rad = material.get_environment_light(all_dirs, jnp.int32(env_id))
-            lights = env_rad * vis[..., None]  # [pc,S,3]
-            Ld = lights[:, :dn]
-            E_d = jnp.mean(Ld, axis=1)  # [pc,3]
+            lights = vis_lib.lookup_shadowed_radiance(
+                lvis[env_id], tri, bary, all_dirs, oct_res
+            )  # [pc, K*sn, 3]
+            # view-independent diffuse irradiance, barycentric vertex mix
+            ev = e_d_vertex[env_id].astype(jnp.float32)
+            E_d = (
+                bary[:, 0:1] * ev[tri[:, 0]]
+                + bary[:, 1:2] * ev[tri[:, 1]]
+                + bary[:, 2:3] * ev[tri[:, 2]]
+            )
 
-            # table: E_d + normalized prefiltered radiance per level
             tab = [E_d]
             for li in range(K):
-                _, w, _, _ = level_data[li]
-                Ls = lights[:, dn + li * sn : dn + (li + 1) * sn]
+                w, _, _ = level_data[li]
+                Ls = lights[:, li * sn : (li + 1) * sn]
                 S_l = jnp.sum(Ls * w, axis=1) / (jnp.sum(w, axis=1) + 1e-6)
                 tab.append(jnp.nan_to_num(S_l))
             tables.append(jnp.stack(tab, axis=1))  # [pc, 1+K, 3]
 
-            # probe images (exact per-probe estimator, reference parity)
             per_probe = []
             for (m, r) in PROBE_MR:
                 li = _PROBE_SET_IDX[r]
-                sd, w, Fr04, Fr1 = level_data[li]
+                w, Fr04, Fr1 = level_data[li]
                 Fr = Fr1 if m == 1.0 else Fr04
-                Ls = lights[:, dn + li * sn : dn + (li + 1) * sn]
+                Ls = lights[:, li * sn : (li + 1) * sn]
                 diffuse = (1.0 - m) * E_d
                 spec = jnp.mean(Fr * Ls * w, axis=1)
                 per_probe.append(uops.lin2srgb(jnp.nan_to_num(diffuse + spec)))
             imgs.append(jnp.concatenate(per_probe, axis=-1))  # [pc, 18]
-        return jnp.stack(imgs), jnp.stack(tables)  # [n_envs,pc,18], [n_envs,pc,1+K,3]
+        return jnp.stack(imgs), jnp.stack(tables)
 
     # chunked map over fg pixels
     pad = (-P) % chunk
@@ -156,10 +172,12 @@ def render_probes_for_view(
         return jnp.concatenate([x, jnp.full((pad, *x.shape[1:]), fill, x.dtype)])
     pos_c = padded(gb.fg_pos).reshape(-1, chunk, 3)
     nrm_c = padded(gb.fg_normal + 0.0).reshape(-1, chunk, 3)
-    # avoid zero normals in padding (normalize breaks); reuse +z
     nrm_c = jnp.where(jnp.linalg.norm(nrm_c, axis=-1, keepdims=True) < 0.5,
                       jnp.asarray([0.0, 0.0, 1.0]), nrm_c)
     vdr_c = padded(gb.fg_viewdir).reshape(-1, chunk, 3)
+    # padded viewdirs must be unit-ish (zero viewdirs make NaN half-vectors)
+    vdr_c = jnp.where(jnp.linalg.norm(vdr_c, axis=-1, keepdims=True) < 0.5,
+                      jnp.asarray([0.0, 0.0, 1.0]), vdr_c)
     val_c = padded(gb.fg_valid.astype(jnp.float32)).reshape(-1, chunk) > 0.5
     tri_c = padded(gb.fg_tri).reshape(-1, chunk, 3)
     bar_c = padded(gb.fg_bary).reshape(-1, chunk, 3)
@@ -167,12 +185,9 @@ def render_probes_for_view(
     keys = jax.random.split(rng, n_chunks)
 
     out, tabs = jax.lax.map(shade_chunk, (pos_c, nrm_c, vdr_c, val_c, tri_c, bar_c, keys))
-    # [n_chunks, n_envs, chunk, ...] -> [n_envs, P, ...]
     out = jnp.moveaxis(out, 1, 0).reshape(n_envs, -1, 18)[:, :P]
     tabs = jnp.moveaxis(tabs, 1, 0).reshape(n_envs, -1, 1 + K, 3)[:, :P]
 
-    # scatter probes into full images (background = 0, like Blender's
-    # transparent background)
     img = jnp.zeros((n_envs, H * W, 18))
     vals = jnp.where(gb.fg_valid[None, :, None], out, 0.0)
     img = img.at[:, gb.fg_idx].add(vals)
@@ -224,6 +239,7 @@ def prerender(
     cond_width: int = 256,
     probe_chunk: int = 4096,
     pixel_budget: Optional[int] = None,
+    prerender_spec_samples: int = 64,
 ) -> PrerenderData:
     """Build all per-view G-buffers and condition maps (the reference's
     render_fixview_imgs + render_oneview_gt, uncond.py:342-582)."""
@@ -281,13 +297,35 @@ def prerender(
     key = jax.random.PRNGKey(seed)
     K1 = 1 + len(TABLE_ALPHAS)
     max_p = gbuffers[0].fg_idx.shape[0]
+
+    # mesh-wide bakes shared by all views: per-vertex visibility (if the
+    # renderer hasn't already), fused env x visibility radiance cache, and
+    # view-independent diffuse irradiance
+    from dreammat_tpu.ops import visibility as vis_lib
+
+    baked = material.baked_visibility
+    if baked is None:
+        baked = vis_lib.bake_vertex_visibility(
+            renderer.bvh, renderer.mesh.v_pos, renderer.mesh.v_nrm
+        )
+    lvis = vis_lib.bake_shadowed_radiance(baked, material.envs[:n_envs])
+    e_d_vertex = vis_lib.bake_vertex_irradiance(
+        baked, lvis, renderer.mesh.v_nrm, material.diffuse_dir_samples
+    )
+    az_pre, el_pre = uops.sample_sphere_fibonacci(prerender_spec_samples)
+    spec_samples = jnp.asarray(
+        np.stack([az_pre * 0.5 / np.pi, 1.0 - 2.0 * el_pre / np.pi], -1),
+        dtype=jnp.float32,
+    )
     lightmaps = np.zeros((len(cam), n_envs, cond_height, cond_width, 18), dtype=np.float16)
     light_tables = np.zeros((len(cam), n_envs, max_p, K1, 3), dtype=np.float16)
     depths = np.zeros((len(cam), cond_height, cond_width, 1), dtype=np.float16)
     normals = np.zeros((len(cam), cond_height, cond_width, 3), dtype=np.float16)
     for i, gb in enumerate(gbuffers):
         probes, tabs = render_probes_for_view(
-            renderer, material, gb, n_envs, jax.random.fold_in(key, i), chunk=probe_chunk
+            renderer, material, gb, n_envs, jax.random.fold_in(key, i),
+            chunk=probe_chunk, lvis=lvis, e_d_vertex=e_d_vertex,
+            oct_res=baked.oct_res, spec_samples=spec_samples,
         )
         for e in range(n_envs):
             lightmaps[i, e] = _resize_map(probes[e], cond_height, cond_width)

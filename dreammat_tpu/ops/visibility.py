@@ -107,3 +107,78 @@ def lookup_visibility(
     v1 = jnp.take_along_axis(t[tri_verts[:, 1]], bins, axis=-1)
     v2 = jnp.take_along_axis(t[tri_verts[:, 2]], bins, axis=-1)
     return bary[:, 0:1] * v0 + bary[:, 1:2] * v1 + bary[:, 2:3] * v2
+
+
+# ---------------------------------------------------------------------------
+# shadowed-radiance cache: env x visibility fused per vertex
+# ---------------------------------------------------------------------------
+
+def bake_shadowed_radiance(baked: BakedVisibility, envs: jnp.ndarray) -> jnp.ndarray:
+    """L_vis[E, V, O2, 3] = env(bin_dir) * vis[v, bin]: one fused table so a
+    shading sample needs 3 gathers total (vertices of the pixel's triangle)
+    instead of separate visibility + environment lookups. float16."""
+    from dreammat_tpu.ops import envmap as envmap_lib
+
+    O = baked.oct_res
+    xs = (jnp.arange(O, dtype=jnp.float32) + 0.5) / O
+    uu, vv = jnp.meshgrid(xs, xs, indexing="xy")
+    uv = jnp.stack([uu.reshape(-1), vv.reshape(-1)], axis=-1)
+    dirs = oct_uv_to_dir(uv)  # [O2,3] in bin order y*O+x
+    env_rad = jax.vmap(lambda e: envmap_lib.sample_equirect_bilinear(e, dirs))(envs)
+    # [E, O2, 3]; broadcast against per-vertex visibility
+    return (
+        env_rad[:, None, :, :] * baked.table.astype(jnp.float32)[None, :, :, None]
+    ).astype(jnp.float16)
+
+
+def lookup_shadowed_radiance(
+    lvis_env: jnp.ndarray,   # [V, O2, 3] one environment's table
+    tri_verts: jnp.ndarray,  # [P,3]
+    bary: jnp.ndarray,       # [P,3]
+    directions: jnp.ndarray, # [P,S,3]
+    oct_res: int,
+) -> jnp.ndarray:
+    """Soft-shadowed incoming radiance [P,S,3] via barycentric vertex mix."""
+    bins = dir_to_bin(directions, oct_res)  # [P,S]
+    t = lvis_env.astype(jnp.float32)
+
+    def gather_vertex(vidx):
+        return jnp.take_along_axis(t[vidx], bins[..., None], axis=1)  # [P,S,3]
+
+    return (
+        bary[:, 0:1, None] * gather_vertex(tri_verts[:, 0])
+        + bary[:, 1:2, None] * gather_vertex(tri_verts[:, 1])
+        + bary[:, 2:3, None] * gather_vertex(tri_verts[:, 2])
+    )
+
+
+def bake_vertex_irradiance(
+    baked: BakedVisibility,
+    lvis: jnp.ndarray,       # [E, V, O2, 3]
+    v_nrm: jnp.ndarray,      # [V,3]
+    diffuse_samples: jnp.ndarray,  # [dn,2] fibonacci (az_unit, el_unit)
+) -> jnp.ndarray:
+    """Per-vertex diffuse irradiance estimate E_d[E, V, 3]: the reference's
+    cosine-set mean of shadowed radiance, evaluated ONCE per mesh in each
+    vertex's normal frame instead of per pixel per view. View-independent, so
+    all 128 views share it (per-pixel values are barycentric mixes)."""
+    from dreammat_tpu.utils import ops as uops
+
+    az = diffuse_samples[:, 0][None, :, None] * (2.0 * jnp.pi)
+    el = diffuse_samples[:, 1][None, :, None]
+    x = uops.get_orthogonal_directions(v_nrm)
+    y = jnp.cross(v_nrm, x)
+    el_sqrt = jnp.sqrt(el + 1e-7)
+    cz = jnp.sqrt(1.0 - el + 1e-7)
+    dirs = (
+        el_sqrt * jnp.cos(az) * x[:, None]
+        + el_sqrt * jnp.sin(az) * y[:, None]
+        + cz * v_nrm[:, None]
+    )  # [V, dn, 3]
+    bins = dir_to_bin(dirs, baked.oct_res)  # [V, dn]
+
+    def per_env(lv):
+        rad = jnp.take_along_axis(lv.astype(jnp.float32), bins[..., None], axis=1)
+        return jnp.mean(rad, axis=1)  # [V,3]
+
+    return jax.vmap(per_env)(lvis)  # [E,V,3]

@@ -64,10 +64,11 @@ def test_diffuse_term_matches_mc(rig):
         vis_data=(gb.fg_tri, gb.fg_bary),
     )
     valid = np.asarray(gb.fg_valid)
-    # diffuse estimator is precomputed exactly (same cosine set, no rotation)
+    # the diffuse irradiance is baked per-VERTEX and barycentric-mixed, vs the
+    # MC path's per-pixel interpolated-normal frame: small smooth deviation
     d_pf = np.asarray(pf["diffuse_color"])[valid]
     d_mc = np.asarray(mc["diffuse_color"])[valid]
-    assert np.abs(d_pf - d_mc).mean() < 0.01, np.abs(d_pf - d_mc).mean()
+    assert np.abs(d_pf - d_mc).mean() < 0.03, np.abs(d_pf - d_mc).mean()
 
 
 @pytest.mark.parametrize("metallic,rough_sq", [(0.0, 0.3), (0.9, 0.5), (0.5, 0.1)])
