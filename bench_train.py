@@ -118,6 +118,27 @@ def main():
     dt = time.time() - t1
     sps = n / dt
     dreammat_tpu.info("device-only %.2f it/s, with-collate %.2f it/s", sps_device, sps)
+
+    # decompose: render-only loss backward (no guidance) vs full step
+    import jax.numpy as jnp2
+
+    renderer = system.renderer
+
+    def render_loss(geo_params, gbuffer, env_id, rng, light_table):
+        out = renderer.shade_view(geo_params, gbuffer, env_id, rng, is_train=True,
+                                  light_table=light_table)
+        return jnp2.mean(out["comp_rgb"]) + out["loss_mat_reg"]
+
+    rstep = jax.jit(jax.grad(render_loss))
+    g = rstep(state["geo"], batch["gbuffer"], batch["env_id"], rng, batch.get("light_table"))
+    jax.block_until_ready(g)
+    t1 = time.time()
+    for i in range(n):
+        g = rstep(state["geo"], batch["gbuffer"], batch["env_id"],
+                  jax.random.fold_in(rng, i), batch.get("light_table"))
+    jax.block_until_ready(g)
+    sps_render = n / (time.time() - t1)
+    dreammat_tpu.info("render-only grad: %.2f it/s", sps_render)
     mins_per_mesh = 3000 / sps / 60
     print(json.dumps({
         "metric": "full_train_steps_per_sec",
