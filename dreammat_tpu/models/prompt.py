@@ -150,9 +150,28 @@ class StableDiffusionPromptProcessor(BaseObject):
         perp_neg_f_fs: Tuple = (4, 0.5, -2.426)
         perp_neg_f_sf: Tuple = (4, 0.5, -2.426)
         use_prompt_debiasing: bool = False
+        prompt_library_path: str = "load/prompt_library.json"
         model_size: str = "sd21"  # "sd21" | "tiny" (tests)
 
     cfg: Config
+
+    def preprocess_prompt(self, prompt: str) -> str:
+        """``lib:key`` prompts resolve through the prompt library JSON
+        (reference base.py:441-470)."""
+        if prompt.startswith("lib:"):
+            import json
+
+            with open(self.cfg.prompt_library_path) as f:
+                library = json.load(f)
+            key = prompt[4:]
+            candidates = []
+            for collection in library.values():
+                if isinstance(collection, dict) and key in collection:
+                    candidates.append(collection[key])
+            if not candidates:
+                raise ValueError(f"prompt '{key}' not found in the prompt library")
+            return candidates[0]
+        return prompt
 
     def configure(self, text_encoder=None) -> None:
         """``text_encoder``: optional (model, params, tokenizer) shared with
@@ -163,9 +182,11 @@ class StableDiffusionPromptProcessor(BaseObject):
         else:
             fmt = ["{}, side view", "{}, front view", "{}, back view", "{}, overhead view"]
         self.direction_names = ["side", "front", "back", "overhead"]
+        prompt = self.preprocess_prompt(cfg.prompt)
+        self.prompt = prompt
         manual = [cfg.prompt_side, cfg.prompt_front, cfg.prompt_back, cfg.prompt_overhead]
         self.prompts_vd = [
-            m if m is not None else f.format(cfg.prompt) for m, f in zip(manual, fmt)
+            m if m is not None else f.format(prompt) for m, f in zip(manual, fmt)
         ]
         self.negative_prompts_vd = [cfg.negative_prompt] * 4
         self._text_encoder = text_encoder
@@ -228,7 +249,7 @@ class StableDiffusionPromptProcessor(BaseObject):
         if self._emb is None:
             cfg = self.cfg
             all_prompts = (
-                [cfg.prompt, cfg.negative_prompt, ""]
+                [self.prompt, cfg.negative_prompt, ""]
                 + self.prompts_vd
                 + self.negative_prompts_vd
             )
