@@ -130,12 +130,14 @@ def render_probes_for_view(
             Fr1 = fresnel_schlick(jnp.asarray(1.0), VoH)
             level_data.append((w, Fr04, Fr1))
 
+        # ONE gather pass fetches all environments' shadowed radiance
+        lights_all = vis_lib.lookup_shadowed_radiance_all_envs(
+            lvis, tri, bary, all_dirs, oct_res
+        )  # [pc, K*sn, E, 3]
         imgs = []
         tables = []
         for env_id in range(n_envs):
-            lights = vis_lib.lookup_shadowed_radiance(
-                lvis[env_id], tri, bary, all_dirs, oct_res
-            )  # [pc, K*sn, 3]
+            lights = lights_all[:, :, env_id]  # [pc, K*sn, 3]
             # view-independent diffuse irradiance, barycentric vertex mix
             ev = e_d_vertex[env_id].astype(jnp.float32)
             E_d = (

@@ -114,9 +114,11 @@ def lookup_visibility(
 # ---------------------------------------------------------------------------
 
 def bake_shadowed_radiance(baked: BakedVisibility, envs: jnp.ndarray) -> jnp.ndarray:
-    """L_vis[E, V, O2, 3] = env(bin_dir) * vis[v, bin]: one fused table so a
-    shading sample needs 3 gathers total (vertices of the pixel's triangle)
-    instead of separate visibility + environment lookups. float16."""
+    """L_vis[V, O2, E*3] = env_e(bin_dir) * vis[v, bin]: the fused
+    env x visibility cache, laid out with ALL environments in the channel
+    axis so one gather per vertex fetches every environment's shadowed
+    radiance at once (gather count is independent of env count, and the
+    wide row uses the TPU lanes efficiently). float16."""
     from dreammat_tpu.ops import envmap as envmap_lib
 
     O = baked.oct_res
@@ -125,36 +127,56 @@ def bake_shadowed_radiance(baked: BakedVisibility, envs: jnp.ndarray) -> jnp.nda
     uv = jnp.stack([uu.reshape(-1), vv.reshape(-1)], axis=-1)
     dirs = oct_uv_to_dir(uv)  # [O2,3] in bin order y*O+x
     env_rad = jax.vmap(lambda e: envmap_lib.sample_equirect_bilinear(e, dirs))(envs)
-    # [E, O2, 3]; broadcast against per-vertex visibility
+    E = env_rad.shape[0]
+    O2 = O * O
+    # [E,O2,3] -> [O2, E*3]
+    flat = jnp.moveaxis(env_rad, 0, 1).reshape(O2, E * 3)
     return (
-        env_rad[:, None, :, :] * baked.table.astype(jnp.float32)[None, :, :, None]
+        flat[None, :, :] * baked.table.astype(jnp.float32)[:, :, None]
     ).astype(jnp.float16)
 
 
-def lookup_shadowed_radiance(
-    lvis_env: jnp.ndarray,   # [V, O2, 3] one environment's table
+def lookup_shadowed_radiance_all_envs(
+    lvis: jnp.ndarray,       # [V, O2, E*3]
     tri_verts: jnp.ndarray,  # [P,3]
     bary: jnp.ndarray,       # [P,3]
     directions: jnp.ndarray, # [P,S,3]
     oct_res: int,
 ) -> jnp.ndarray:
-    """Soft-shadowed incoming radiance [P,S,3] via barycentric vertex mix."""
+    """Soft-shadowed incoming radiance for every environment at once:
+    returns [P, S, E, 3]."""
     bins = dir_to_bin(directions, oct_res)  # [P,S]
-    t = lvis_env.astype(jnp.float32)
+    t = lvis.astype(jnp.float32)
+    C = t.shape[-1]
 
     def gather_vertex(vidx):
-        return jnp.take_along_axis(t[vidx], bins[..., None], axis=1)  # [P,S,3]
+        return jnp.take_along_axis(t[vidx], bins[..., None], axis=1)  # [P,S,E*3]
 
-    return (
+    out = (
         bary[:, 0:1, None] * gather_vertex(tri_verts[:, 0])
         + bary[:, 1:2, None] * gather_vertex(tri_verts[:, 1])
         + bary[:, 2:3, None] * gather_vertex(tri_verts[:, 2])
     )
+    P, S = bins.shape
+    return out.reshape(P, S, C // 3, 3)
+
+
+def lookup_shadowed_radiance(
+    lvis: jnp.ndarray,       # [V, O2, E*3] fused cache
+    tri_verts: jnp.ndarray,
+    bary: jnp.ndarray,
+    directions: jnp.ndarray,
+    oct_res: int,
+    env_id: int = 0,
+) -> jnp.ndarray:
+    """One environment's shadowed radiance [P,S,3]."""
+    all_envs = lookup_shadowed_radiance_all_envs(lvis, tri_verts, bary, directions, oct_res)
+    return all_envs[:, :, env_id]
 
 
 def bake_vertex_irradiance(
     baked: BakedVisibility,
-    lvis: jnp.ndarray,       # [E, V, O2, 3]
+    lvis: jnp.ndarray,       # [V, O2, E*3]
     v_nrm: jnp.ndarray,      # [V,3]
     diffuse_samples: jnp.ndarray,  # [dn,2] fibonacci (az_unit, el_unit)
 ) -> jnp.ndarray:
@@ -176,9 +198,8 @@ def bake_vertex_irradiance(
         + cz * v_nrm[:, None]
     )  # [V, dn, 3]
     bins = dir_to_bin(dirs, baked.oct_res)  # [V, dn]
-
-    def per_env(lv):
-        rad = jnp.take_along_axis(lv.astype(jnp.float32), bins[..., None], axis=1)
-        return jnp.mean(rad, axis=1)  # [V,3]
-
-    return jax.vmap(per_env)(lvis)  # [E,V,3]
+    rad = jnp.take_along_axis(lvis.astype(jnp.float32), bins[..., None], axis=1)
+    mean = jnp.mean(rad, axis=1)  # [V, E*3]
+    V = mean.shape[0]
+    E = mean.shape[-1] // 3
+    return jnp.moveaxis(mean.reshape(V, E, 3), 1, 0)  # [E,V,3]
