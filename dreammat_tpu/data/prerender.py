@@ -252,15 +252,19 @@ def prerender(
         sig = mesh_signature(mesh, cam, height, width, n_envs)
         cache_path = os.path.join(cache_dir, f"prerender_{sig}.npz")
 
+    import time as _time
+
     gbuffers = []
     # first pass: G-buffers (each auto-sizes; unified to the max below so a
     # single jitted shade_view shape covers every view)
+    _t0 = _time.time()
     for i in range(len(cam)):
         cd = camera_rays_and_matrices(cam, i, height, width)
         gb = renderer.build_gbuffer(
             cd["rays_o"], cd["rays_d"], cd["w2c"], pixel_budget=pixel_budget
         )
         gbuffers.append(gb)
+    dreammat_tpu.info("prerender: G-buffers for %d views in %.1fs", len(cam), _time.time() - _t0)
     # unify budgets to the max so one jitted shade_view handles every view
     max_p = max(gb.fg_idx.shape[0] for gb in gbuffers)
     uni = []
@@ -334,8 +338,8 @@ def prerender(
         light_tables[i] = np.asarray(tabs, dtype=np.float16)
         depths[i] = _resize_map(gb.cn_depth, cond_height, cond_width)
         normals[i] = _resize_map(gb.cn_normal, cond_height, cond_width)
-        if (i + 1) % 16 == 0:
-            dreammat_tpu.info("prerender: %d/%d views", i + 1, len(cam))
+        if (i + 1) % 8 == 0:
+            dreammat_tpu.info("prerender: %d/%d probe views", i + 1, len(cam))
 
     if cache_path:
         np.savez_compressed(
