@@ -32,7 +32,12 @@ MISS_DEPTH = 10.0
 
 
 class FlatBVH(NamedTuple):
-    """Device-side flat BVH (all arrays static-shaped)."""
+    """Device-side flat BVH (all arrays static-shaped).
+
+    ``node_packed``/``tri_packed`` duplicate the SoA fields into single wide
+    rows so the traversal loop issues ONE gather per node / leaf-triangle
+    instead of five — random small gathers are the latency bottleneck of the
+    while_loop on TPU."""
 
     node_min: jnp.ndarray   # [N,3] f32
     node_max: jnp.ndarray   # [N,3] f32
@@ -43,6 +48,8 @@ class FlatBVH(NamedTuple):
     tri_e1: jnp.ndarray     # [T,3]
     tri_e2: jnp.ndarray     # [T,3]
     tri_id: jnp.ndarray     # [T] i32 original face index (-1 = padding)
+    node_packed: jnp.ndarray  # [N,9] f32: min3 | max3 | miss | first | count
+    tri_packed: jnp.ndarray   # [T,10] f32: v0 | e1 | e2 | id
 
 
 _NATIVE_LIB = None
@@ -130,6 +137,19 @@ def _build_bvh_native(vertices: np.ndarray, faces: np.ndarray):
     return node_min, node_max, node_miss, node_first, node_count, out_tris
 
 
+def _pack(node_min, node_max, node_miss, node_first, node_count, tv0, te1, te2, tid):
+    node_packed = np.concatenate(
+        [node_min, node_max,
+         node_miss[:, None].astype(np.float32),
+         node_first[:, None].astype(np.float32),
+         node_count[:, None].astype(np.float32)], axis=1
+    ).astype(np.float32)
+    tri_packed = np.concatenate(
+        [tv0, te1, te2, tid[:, None].astype(np.float32)], axis=1
+    ).astype(np.float32)
+    return node_packed, tri_packed
+
+
 def build_bvh(vertices: np.ndarray, faces: np.ndarray, use_native: bool = True) -> FlatBVH:
     """Host-side BVH build (median split on the largest centroid axis).
     Uses the C++ builder (native/bvh_builder.cpp) when available; the numpy
@@ -149,12 +169,16 @@ def build_bvh(vertices: np.ndarray, faces: np.ndarray, use_native: bool = True) 
             te1 = np.concatenate([(v1 - v0)[out], np.zeros((pad, 3), np.float32)])
             te2 = np.concatenate([(v2 - v0)[out], np.zeros((pad, 3), np.float32)])
             tid = np.concatenate([out.astype(np.int32), -np.ones(pad, np.int32)])
+            npk, tpk = _pack(node_min, node_max, node_miss, node_first, node_count,
+                             tv0.astype(np.float32), te1.astype(np.float32),
+                             te2.astype(np.float32), tid)
             return FlatBVH(
                 node_min=jnp.asarray(node_min), node_max=jnp.asarray(node_max),
                 node_miss=jnp.asarray(node_miss), node_first=jnp.asarray(node_first),
                 node_count=jnp.asarray(node_count),
                 tri_v0=jnp.asarray(tv0), tri_e1=jnp.asarray(te1),
                 tri_e2=jnp.asarray(te2), tri_id=jnp.asarray(tid),
+                node_packed=jnp.asarray(npk), tri_packed=jnp.asarray(tpk),
             )
     return _build_bvh_python(vertices, faces)
 
@@ -246,6 +270,10 @@ def _build_bvh_python(vertices: np.ndarray, faces: np.ndarray) -> FlatBVH:
     te2 = np.concatenate([(v2 - v0)[out], np.zeros((pad, 3), np.float32)])
     tid = np.concatenate([out.astype(np.int32), -np.ones(pad, np.int32)])
 
+    npk, tpk = _pack(node_min, node_max, node_miss.astype(np.int32),
+                     node_first, node_count,
+                     tv0.astype(np.float32), te1.astype(np.float32),
+                     te2.astype(np.float32), tid.astype(np.int32))
     return FlatBVH(
         node_min=jnp.asarray(node_min),
         node_max=jnp.asarray(node_max),
@@ -256,6 +284,8 @@ def _build_bvh_python(vertices: np.ndarray, faces: np.ndarray) -> FlatBVH:
         tri_e1=jnp.asarray(te1),
         tri_e2=jnp.asarray(te2),
         tri_id=jnp.asarray(tid),
+        node_packed=jnp.asarray(npk),
+        tri_packed=jnp.asarray(tpk),
     )
 
 
@@ -322,24 +352,28 @@ def cast_rays(
     def body(state):
         cur, t_best, face_best, u_best, v_best, it = state
         safe = jnp.maximum(cur, 0)
-        bmin = bvh.node_min[safe]
-        bmax = bvh.node_max[safe]
-        miss_link = bvh.node_miss[safe]
-        first = bvh.node_first[safe]
-        count = bvh.node_count[safe]
+        # ONE wide gather per node (min|max|miss|first|count packed rows):
+        # separate small gathers are the latency bottleneck of this loop
+        node = bvh.node_packed[safe]  # [R,9]
+        bmin = node[:, 0:3]
+        bmax = node[:, 3:6]
+        miss_link = node[:, 6].astype(jnp.int32)
+        first = node[:, 7].astype(jnp.int32)
+        count = node[:, 8].astype(jnp.int32)
         active = cur >= 0
 
         aabb_hit = _ray_aabb(o, inv_d, bmin, bmax, t_best) & active
         is_leaf = (count > 0) & aabb_hit
 
-        # masked leaf triangle tests (LEAF_SIZE fixed)
+        # masked leaf triangle tests (LEAF_SIZE fixed), one gather per slot row
         slots = first[:, None] + jnp.arange(LEAF_SIZE, dtype=jnp.int32)[None, :]
         lane_ok = jnp.arange(LEAF_SIZE, dtype=jnp.int32)[None, :] < count[:, None]
         slots = jnp.where(lane_ok & is_leaf[:, None], slots, 0)
-        tv0 = bvh.tri_v0[slots]
-        te1 = bvh.tri_e1[slots]
-        te2 = bvh.tri_e2[slots]
-        tid = bvh.tri_id[slots]
+        tri = bvh.tri_packed[slots]  # [R,L,10]
+        tv0 = tri[..., 0:3]
+        te1 = tri[..., 3:6]
+        te2 = tri[..., 6:9]
+        tid = tri[..., 9].astype(jnp.int32)
         t, u, v, valid = _tri_hits(o, d, tv0, te1, te2)
         valid = valid & lane_ok & is_leaf[:, None] & (t < t_best[:, None])
         t_masked = jnp.where(valid, t, jnp.inf)
