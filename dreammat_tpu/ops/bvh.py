@@ -404,8 +404,69 @@ def cast_rays(
     }
 
 
+# Below this many triangles, dense triangle-scan casting wins on TPU:
+# the BVH while_loop is gather-latency-bound (~ms per iteration), while the
+# dense path is pure regular VPU math (~30 flops per ray-tri pair, no
+# gathers). 262k rays x 200k tris ~ 1.6 TFLOP = well under a second.
+DENSE_CAST_MAX_TRIS = 1 << 18
+
+
+@functools.partial(jax.jit, static_argnames=("tri_chunk",))
+def cast_rays_dense(bvh: FlatBVH, rays_o, rays_d, t_max: float = MISS_DEPTH,
+                    tri_chunk: int = 128):
+    """First-hit cast by scanning ALL triangles in fixed chunks (lax.scan,
+    running min-t reduction). No gathers, no divergence — TPU-shaped."""
+    o = rays_o.astype(jnp.float32)
+    d = rays_d.astype(jnp.float32)
+    R = o.shape[0]
+    T = bvh.tri_packed.shape[0]
+    padT = (-T) % tri_chunk
+    tp = bvh.tri_packed
+    if padT:
+        pad_rows = jnp.zeros((padT, tp.shape[1]), tp.dtype).at[:, 9].set(-1.0)
+        tp = jnp.concatenate([tp, pad_rows])
+    chunks = tp.reshape(-1, tri_chunk, tp.shape[1])
+
+    def body(carry, tri):
+        t_best, face_best, u_best, v_best = carry
+        tv0 = jnp.broadcast_to(tri[None, :, 0:3], (R, tri_chunk, 3))
+        te1 = jnp.broadcast_to(tri[None, :, 3:6], (R, tri_chunk, 3))
+        te2 = jnp.broadcast_to(tri[None, :, 6:9], (R, tri_chunk, 3))
+        tid = tri[:, 9].astype(jnp.int32)
+        t, u, v, valid = _tri_hits(o, d, tv0, te1, te2)
+        valid = valid & (tid >= 0)[None, :] & (t < t_best[:, None])
+        t_masked = jnp.where(valid, t, jnp.inf)
+        lane = jnp.argmin(t_masked, axis=-1)
+        t_lane = jnp.take_along_axis(t_masked, lane[:, None], axis=-1)[:, 0]
+        improved = jnp.isfinite(t_lane)
+        sel = lambda arr: jnp.take_along_axis(arr, lane[:, None], axis=-1)[:, 0]
+        return (
+            jnp.where(improved, t_lane, t_best),
+            jnp.where(improved, tid[lane], face_best),
+            jnp.where(improved, sel(u), u_best),
+            jnp.where(improved, sel(v), v_best),
+        ), None
+
+    init = (
+        jnp.full((R,), t_max, jnp.float32),
+        jnp.full((R,), -1, jnp.int32),
+        jnp.zeros((R,), jnp.float32),
+        jnp.zeros((R,), jnp.float32),
+    )
+    (t_best, face_best, u_best, v_best), _ = jax.lax.scan(body, init, chunks)
+    hit = face_best >= 0
+    return {
+        "t": jnp.where(hit, t_best, MISS_DEPTH),
+        "face": face_best,
+        "u": u_best,
+        "v": v_best,
+        "hit": hit,
+    }
+
+
 def cast_rays_chunked(bvh: FlatBVH, rays_o, rays_d, chunk: int = 1 << 16, t_max: float = MISS_DEPTH):
-    """Map cast_rays over fixed-size chunks to bound memory for huge ray sets."""
+    """Map casting over fixed-size ray chunks; dispatches to the dense
+    triangle-scan path for small/medium meshes (see DENSE_CAST_MAX_TRIS)."""
     R = rays_o.shape[0]
     pad = (-R) % chunk
     if pad:
@@ -413,7 +474,11 @@ def cast_rays_chunked(bvh: FlatBVH, rays_o, rays_d, chunk: int = 1 << 16, t_max:
         rays_d = jnp.concatenate([rays_d, jnp.ones((pad, 3), rays_d.dtype)])
     ro = rays_o.reshape(-1, chunk, 3)
     rd = rays_d.reshape(-1, chunk, 3)
-    out = jax.lax.map(lambda ab: cast_rays(bvh, ab[0], ab[1], t_max=t_max), (ro, rd))
+    if bvh.tri_packed.shape[0] <= DENSE_CAST_MAX_TRIS:
+        caster = lambda ab: cast_rays_dense(bvh, ab[0], ab[1], t_max=t_max)
+    else:
+        caster = lambda ab: cast_rays(bvh, ab[0], ab[1], t_max=t_max)
+    out = jax.lax.map(caster, (ro, rd))
     out = jax.tree_util.tree_map(lambda x: x.reshape(-1, *x.shape[2:])[:R], out)
     return out
 
