@@ -92,7 +92,10 @@ class RaytraceRenderer(BaseObject):
     def trace(self, rays_o, rays_d):
         """Reference-compatible trace (raytracing_renderer.py:318-324):
         returns (positions, face_normals, depth [N,1], hit_mask)."""
-        out = bvh_lib.cast_rays(self.bvh, rays_o, rays_d)
+        if self.bvh.tri_packed.shape[0] <= bvh_lib.DENSE_CAST_MAX_TRIS:
+            out = bvh_lib.cast_rays_dense(self.bvh, rays_o, rays_d)
+        else:
+            out = bvh_lib.cast_rays(self.bvh, rays_o, rays_d)
         t = out["t"]
         positions = rays_o + t[:, None] * rays_d
         fn = self.mesh.face_normals
