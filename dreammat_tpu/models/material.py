@@ -162,6 +162,10 @@ class DreamMatMaterial(BaseObject):
 
         self.ray_trace_fun: Optional[Callable] = None
         self.baked_visibility = None  # ops.visibility.BakedVisibility
+        if cfg.use_prefiltered:
+            # computed HERE (host context): building it lazily inside a
+            # traced shade call would cache a leaked tracer on self
+            self.fg_lut = envmap_lib.compute_fg_lut()
 
     def ensure_splitsum(self):
         if self.splitsum is None:
@@ -515,7 +519,10 @@ class DreamMatMaterial(BaseObject):
         from dreammat_tpu.data.prerender import TABLE_ALPHAS
 
         if self.fg_lut is None:
-            self.fg_lut = envmap_lib.compute_fg_lut()
+            raise RuntimeError(
+                "shade_prefiltered needs cfg.use_prefiltered=true so the FG "
+                "LUT is built at configure time (not inside a trace)"
+            )
         levels = jnp.asarray(TABLE_ALPHAS, dtype=jnp.float32)
         K = levels.shape[0]
         E_d = light_table[:, 0].astype(jnp.float32)
