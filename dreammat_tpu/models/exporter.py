@@ -204,7 +204,13 @@ class MeshExporter(BaseObject):
             + v * v_pos[tris[:, 2]]
         )
 
-        feats = self.geometry.apply(geo_params, jnp.asarray(pos))
+        # chunk the field query: 2048^2 texels in one hashgrid call OOMs a
+        # 16GB chip (per-level corner intermediates)
+        from dreammat_tpu.utils.ops import chunk_batch
+
+        feats = chunk_batch(
+            lambda p: self.geometry.apply(geo_params, p), 1 << 18, jnp.asarray(pos)
+        )
         maps = self.material.export(feats)
         valid = jnp.asarray(hit).reshape(res, res)
         albedo = inpaint_padding(maps["albedo"].reshape(res, res, 3), valid)
