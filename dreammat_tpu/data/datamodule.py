@@ -55,10 +55,7 @@ class RandomCameraDataModule(BaseObject):
         cond_height: int = 256
         cond_width: int = 256
         prerender_cache_dir: Optional[str] = ".dreammat_tpu_cache/prerender"
-        prerender_seed: int = 0
-        probe_chunk: int = 4096
         pixel_budget: int = 0
-        prerender_spec_samples: int = 64
         seed: int = 0
 
     cfg: Config
@@ -90,12 +87,9 @@ class RandomCameraDataModule(BaseObject):
         self.data = prerender_lib.prerender(
             self.renderer, self.material, self.cameras,
             cfg.height, cfg.width, cfg.fix_env_num,
-            seed=cfg.prerender_seed,
             cache_dir=cfg.prerender_cache_dir,
             cond_height=cfg.cond_height, cond_width=cfg.cond_width,
-            probe_chunk=cfg.probe_chunk,
             pixel_budget=cfg.pixel_budget or None,
-            prerender_spec_samples=cfg.prerender_spec_samples,
         )
         if cfg.blender_generate and cfg.reference_cache_dir:
             lm, d, n = prerender_lib.load_reference_png_cache(
@@ -142,8 +136,10 @@ class RandomCameraDataModule(BaseObject):
 
     def eval_view(self, i: int, env_id: int = 4) -> Dict[str, Any]:
         """Test views on the eval circle; env fixed to 4 like the reference
-        (uncond.py:926)."""
+        (uncond.py:926) — clamped to the configured env count (env 4 with
+        2 envs would otherwise index out of range)."""
         cfg = self.cfg
+        env_id = min(env_id, cfg.fix_env_num - 1)
         cd = cam_lib.camera_rays_and_matrices(
             self.eval_cameras, i, cfg.eval_height, cfg.eval_width
         )

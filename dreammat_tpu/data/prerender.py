@@ -31,6 +31,7 @@ import numpy as np
 
 import dreammat_tpu
 from dreammat_tpu.data.cameras import CameraSet, camera_rays_and_matrices
+from dreammat_tpu.ops import envmap as envmap_lib
 from dreammat_tpu.models.material import (
     distribution_ggx,
     fresnel_schlick,
@@ -46,14 +47,110 @@ TABLE_ALPHAS = (1e-3, 0.08, 0.25, 0.5, 1.0)
 _PROBE_SET_IDX = {0.0: 0, 0.5: 2, 1.0: 4}  # probe linear roughness -> set index
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("oct_res", "n_envs"))
+def _probe_view_conv(
+    v_pos, v_nrm, lvis, e_d_vertex, fg_lut, cam_pos,
+    fg_normal, fg_viewdir, fg_tri, fg_bary, fg_valid, fg_idx, mask,
+    *, oct_res: int, n_envs: int,
+):
+    """One view's probe images + light tables via the octahedral split-sum
+    convolution bake (zero per-sample gathers — the round-1 bottleneck).
+
+    Per vertex: reflection direction for THIS camera -> GGX-prefiltered
+    shadowed radiance S_k at each TABLE_ALPHAS level (quadrature over the
+    lvis bins, ops/visibility.bake_vertex_specular_conv). Per pixel: a
+    barycentric mix of the vertex (E_d, S_1..K) rows IS the light table,
+    and the six probes follow from the Karis FG LUT:
+        probe(m, r) = (1-m) E_d + (F0(m) A + B) S_level(r)
+    — the same factorization shade_prefiltered uses in the hot loop, so the
+    probes and the training-time shading are mutually consistent."""
+    from dreammat_tpu.ops import visibility as vis_lib
+
+    H, W = mask.shape
+    K = len(TABLE_ALPHAS)
+    viewdir_v = uops.safe_normalize(cam_pos[None, :] - v_pos)
+    refl_v = uops.safe_normalize(uops.reflect(viewdir_v, v_nrm))
+    S_v = vis_lib.bake_vertex_specular_conv(lvis, refl_v, TABLE_ALPHAS, oct_res)
+    Ev = jnp.moveaxis(e_d_vertex, 0, 1)[:, None]        # [V,1,E,3]
+    tab_v = jnp.concatenate([Ev.astype(jnp.float32), S_v], axis=1)  # [V,1+K,E,3]
+    V = tab_v.shape[0]
+    flat = tab_v.reshape(V, -1)
+    tp = (
+        fg_bary[:, 0:1] * flat[fg_tri[:, 0]]
+        + fg_bary[:, 1:2] * flat[fg_tri[:, 1]]
+        + fg_bary[:, 2:3] * flat[fg_tri[:, 2]]
+    )
+    P = tp.shape[0]
+    tables = jnp.moveaxis(tp.reshape(P, 1 + K, n_envs, 3), 2, 0)  # [E,P,1+K,3]
+
+    NoV = uops.saturate_dot(fg_normal, fg_viewdir)  # [P,1]
+    per_probe = []
+    for (m, r) in PROBE_MR:
+        li = _PROBE_SET_IDX[r]
+        fg = envmap_lib.sample_fg_lut(fg_lut, NoV, jnp.full_like(NoV, r))
+        F0 = 0.04 * (1.0 - m) + m * 1.0  # white base color (blender probes)
+        spec = (F0 * fg[..., 0:1] + fg[..., 1:2])[None] * tables[:, :, 1 + li]
+        diff = (1.0 - m) * tables[:, :, 0]
+        per_probe.append(uops.lin2srgb(jnp.nan_to_num(diff + spec)))
+    out = jnp.concatenate(per_probe, axis=-1)  # [E,P,18]
+    img = jnp.zeros((n_envs, H * W, 18))
+    vals = jnp.where(fg_valid[None, :, None], out, 0.0)
+    img = img.at[:, fg_idx].add(vals)
+    img = img * mask.reshape(1, -1, 1).astype(jnp.float32)
+    return img.reshape(n_envs, H, W, 18), tables
+
+
 def render_probes_for_view(
+    renderer,
+    material,
+    gb,
+    n_envs: int,
+    cam_pos,
+    lvis=None,            # [V, O2, E*3] shadowed-radiance cache (ops/visibility.py)
+    e_d_vertex=None,      # [E, V, 3] per-vertex diffuse irradiance
+    oct_res: int = 16,
+    fg_lut=None,
+):
+    """Fast (default) probe/table pass for one G-buffer — see
+    _probe_view_conv. The per-pixel Monte-Carlo variant survives as
+    render_probes_for_view_mc for parity/error measurement."""
+    from dreammat_tpu.ops import envmap as _envlib
+    from dreammat_tpu.ops import visibility as vis_lib
+
+    if lvis is None or e_d_vertex is None:
+        baked = material.baked_visibility
+        if baked is None:
+            baked = vis_lib.bake_vertex_visibility(
+                renderer.bvh, renderer.mesh.v_pos, renderer.mesh.v_nrm
+            )
+        oct_res = baked.oct_res
+        lvis = vis_lib.bake_shadowed_radiance(baked, material.envs[:n_envs])
+        e_d_vertex = vis_lib.bake_vertex_irradiance_conv(
+            lvis, renderer.mesh.v_nrm, oct_res
+        )
+    if fg_lut is None:
+        fg_lut = material.fg_lut
+        if fg_lut is None:
+            fg_lut = _envlib.compute_fg_lut()
+    return _probe_view_conv(
+        renderer.mesh.v_pos, renderer.mesh.v_nrm, lvis, e_d_vertex, fg_lut,
+        jnp.asarray(cam_pos, dtype=jnp.float32),
+        gb.fg_normal, gb.fg_viewdir, gb.fg_tri, gb.fg_bary, gb.fg_valid,
+        gb.fg_idx, gb.mask, oct_res=oct_res, n_envs=n_envs,
+    )
+
+
+def render_probes_for_view_mc(
     renderer,
     material,
     gb,
     n_envs: int,
     rng: jax.Array,
     chunk: int = 4096,
-    lvis=None,            # [E, V, O2, 3] shadowed-radiance cache (ops/visibility.py)
+    lvis=None,            # [V, O2, E*3] shadowed-radiance cache (ops/visibility.py)
     e_d_vertex=None,      # [E, V, 3] per-vertex diffuse irradiance
     oct_res: int = 16,
     spec_samples=None,    # [sn_pre, 2] fibonacci set for the prerender pass
@@ -235,13 +332,10 @@ def prerender(
     height: int,
     width: int,
     n_envs: int,
-    seed: int = 0,
     cache_dir: Optional[str] = None,
     cond_height: int = 256,
     cond_width: int = 256,
-    probe_chunk: int = 4096,
     pixel_budget: Optional[int] = None,
-    prerender_spec_samples: int = 64,
 ) -> PrerenderData:
     """Build all per-view G-buffers and condition maps (the reference's
     render_fixview_imgs + render_oneview_gt, uncond.py:342-582)."""
@@ -255,11 +349,13 @@ def prerender(
     import time as _time
 
     gbuffers = []
+    cam_positions = []
     # first pass: G-buffers (each auto-sizes; unified to the max below so a
     # single jitted shade_view shape covers every view)
     _t0 = _time.time()
     for i in range(len(cam)):
         cd = camera_rays_and_matrices(cam, i, height, width)
+        cam_positions.append(np.asarray(cd["camera_position"], dtype=np.float32))
         gb = renderer.build_gbuffer(
             cd["rays_o"], cd["rays_d"], cd["w2c"], pixel_budget=pixel_budget
         )
@@ -300,46 +396,52 @@ def prerender(
             )
         dreammat_tpu.info("prerender cache %s lacks light tables; regenerating", cache_path)
 
-    key = jax.random.PRNGKey(seed)
     K1 = 1 + len(TABLE_ALPHAS)
     max_p = gbuffers[0].fg_idx.shape[0]
 
     # mesh-wide bakes shared by all views: per-vertex visibility (if the
     # renderer hasn't already), fused env x visibility radiance cache, and
     # view-independent diffuse irradiance
+    from dreammat_tpu.ops import envmap as envmap_lib_
     from dreammat_tpu.ops import visibility as vis_lib
 
+    _t0 = _time.time()
     baked = material.baked_visibility
     if baked is None:
         baked = vis_lib.bake_vertex_visibility(
             renderer.bvh, renderer.mesh.v_pos, renderer.mesh.v_nrm
         )
     lvis = vis_lib.bake_shadowed_radiance(baked, material.envs[:n_envs])
-    e_d_vertex = vis_lib.bake_vertex_irradiance(
-        baked, lvis, renderer.mesh.v_nrm, material.diffuse_dir_samples
+    e_d_vertex = vis_lib.bake_vertex_irradiance_conv(
+        lvis, renderer.mesh.v_nrm, baked.oct_res
     )
-    az_pre, el_pre = uops.sample_sphere_fibonacci(prerender_spec_samples)
-    spec_samples = jnp.asarray(
-        np.stack([az_pre * 0.5 / np.pi, 1.0 - 2.0 * el_pre / np.pi], -1),
-        dtype=jnp.float32,
-    )
+    fg_lut = material.fg_lut
+    if fg_lut is None:
+        fg_lut = envmap_lib_.compute_fg_lut()
+    jax.block_until_ready(e_d_vertex)
+    dreammat_tpu.info("prerender: mesh-wide bakes in %.1fs", _time.time() - _t0)
+
+    _t0 = _time.time()
     lightmaps = np.zeros((len(cam), n_envs, cond_height, cond_width, 18), dtype=np.float16)
     light_tables = np.zeros((len(cam), n_envs, max_p, K1, 3), dtype=np.float16)
     depths = np.zeros((len(cam), cond_height, cond_width, 1), dtype=np.float16)
     normals = np.zeros((len(cam), cond_height, cond_width, 3), dtype=np.float16)
     for i, gb in enumerate(gbuffers):
         probes, tabs = render_probes_for_view(
-            renderer, material, gb, n_envs, jax.random.fold_in(key, i),
-            chunk=probe_chunk, lvis=lvis, e_d_vertex=e_d_vertex,
-            oct_res=baked.oct_res, spec_samples=spec_samples,
+            renderer, material, gb, n_envs, cam_positions[i],
+            lvis=lvis, e_d_vertex=e_d_vertex, oct_res=baked.oct_res,
+            fg_lut=fg_lut,
         )
         for e in range(n_envs):
             lightmaps[i, e] = _resize_map(probes[e], cond_height, cond_width)
         light_tables[i] = np.asarray(tabs, dtype=np.float16)
         depths[i] = _resize_map(gb.cn_depth, cond_height, cond_width)
         normals[i] = _resize_map(gb.cn_normal, cond_height, cond_width)
-        if (i + 1) % 8 == 0:
+        if (i + 1) % 32 == 0:
             dreammat_tpu.info("prerender: %d/%d probe views", i + 1, len(cam))
+    dreammat_tpu.info(
+        "prerender: probes+tables for %d views in %.1fs", len(cam), _time.time() - _t0
+    )
 
     if cache_path:
         np.savez_compressed(

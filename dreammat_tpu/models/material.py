@@ -233,8 +233,10 @@ class DreamMatMaterial(BaseObject):
     # lights
     # ------------------------------------------------------------------
     def get_environment_light(self, directions, env_id):
-        """Equirect radiance lookup; env_id is a traced scalar index."""
-        env = jnp.take(self.envs, env_id, axis=0)  # [H,W,3]
+        """Equirect radiance lookup; env_id is a traced scalar index.
+        mode="clip": out-of-range ids (e.g. the reference's fixed eval env 4
+        with fewer configured envs) must clamp, not produce NaN fill."""
+        env = jnp.take(self.envs, env_id, axis=0, mode="clip")  # [H,W,3]
         return envmap_lib.sample_equirect_nearest(env, directions)
 
     def get_lights(self, points, directions, env_id, valid_mask=None, vis_data=None):
@@ -570,7 +572,9 @@ class DreamMatMaterial(BaseObject):
         F0 = (1.0 - metallic) * 0.04 + metallic * albedo
         specular_albedo = F0 * fg[..., 0:1] + fg[..., 1:2]
 
-        ss = jax.tree_util.tree_map(lambda x: jnp.take(x, env_id, axis=0), self.splitsum)
+        ss = jax.tree_util.tree_map(
+            lambda x: jnp.take(x, env_id, axis=0, mode="clip"), self.splitsum
+        )
         diffuse_light = envmap_lib.sample_splitsum_diffuse(ss, normals)
         specular_light = envmap_lib.sample_splitsum_specular(ss, reflective, roughness**2)
 

@@ -113,23 +113,33 @@ def lookup_visibility(
 # shadowed-radiance cache: env x visibility fused per vertex
 # ---------------------------------------------------------------------------
 
-def bake_shadowed_radiance(baked: BakedVisibility, envs: jnp.ndarray) -> jnp.ndarray:
-    """L_vis[V, O2, E*3] = env_e(bin_dir) * vis[v, bin]: the fused
+def bake_shadowed_radiance(
+    baked: BakedVisibility, envs: jnp.ndarray, supersample: int = 4
+) -> jnp.ndarray:
+    """L_vis[V, O2, E*3] = mean_env_e(bin) * vis[v, bin]: the fused
     env x visibility cache, laid out with ALL environments in the channel
     axis so one gather per vertex fetches every environment's shadowed
     radiance at once (gather count is independent of env count, and the
-    wide row uses the TPU lanes efficiently). float16."""
+    wide row uses the TPU lanes efficiently). float16.
+
+    The per-bin radiance is the env AVERAGED over supersample^2 points per
+    bin (not the bin-center point sample): a sun smaller than a bin would
+    otherwise alias to the full sun radiance over the whole bin, biasing
+    every downstream irradiance/prefilter integral."""
     from dreammat_tpu.ops import envmap as envmap_lib
 
     O = baked.oct_res
-    xs = (jnp.arange(O, dtype=jnp.float32) + 0.5) / O
-    uu, vv = jnp.meshgrid(xs, xs, indexing="xy")
+    s = max(int(supersample), 1)
+    N = O * s
+    xs = (jnp.arange(N, dtype=jnp.float32) + 0.5) / N
+    uu, vv = jnp.meshgrid(xs, xs, indexing="xy")  # axis0 = v(y), axis1 = u(x)
     uv = jnp.stack([uu.reshape(-1), vv.reshape(-1)], axis=-1)
-    dirs = oct_uv_to_dir(uv)  # [O2,3] in bin order y*O+x
+    dirs = oct_uv_to_dir(uv)  # [N2,3]
     env_rad = jax.vmap(lambda e: envmap_lib.sample_equirect_bilinear(e, dirs))(envs)
     E = env_rad.shape[0]
+    # [E, N, N, 3] -> bin means [E, O, O, 3] -> [E, O2, 3]
+    env_rad = env_rad.reshape(E, O, s, O, s, 3).mean(axis=(2, 4)).reshape(E, O * O, 3)
     O2 = O * O
-    # [E,O2,3] -> [O2, E*3]
     flat = jnp.moveaxis(env_rad, 0, 1).reshape(O2, E * 3)
     return (
         flat[None, :, :] * baked.table.astype(jnp.float32)[:, :, None]
@@ -172,6 +182,159 @@ def lookup_shadowed_radiance(
     """One environment's shadowed radiance [P,S,3]."""
     all_envs = lookup_shadowed_radiance_all_envs(lvis, tri_verts, bary, directions, oct_res)
     return all_envs[:, :, env_id]
+
+
+# ---------------------------------------------------------------------------
+# octahedral-domain convolution bakes (no gathers — pure VPU/MXU math)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+def _oct_uv_to_dir_np(uv: np.ndarray) -> np.ndarray:
+    """Pure-numpy twin of oct_uv_to_dir (host-side geometry tables must not
+    trace — they are built lazily, possibly inside a jit trace)."""
+    xy = uv * 2.0 - 1.0
+    z = 1.0 - np.abs(xy[..., 0:1]) - np.abs(xy[..., 1:2])
+    folded = (1.0 - np.abs(xy[..., ::-1])) * np.sign(np.where(xy == 0, 1.0, xy))
+    xy = np.where(z < 0, folded, xy)
+    d = np.concatenate([xy, z], axis=-1)
+    return d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def _oct_grid_areas(N: int) -> np.ndarray:
+    """Per-cell solid angles [N,N] (y-major axes) of the N x N octahedral UV
+    grid: numerically integrated spherical quad areas (flat-quad
+    approximation), normalized to exactly 4pi."""
+    xs = np.arange(N + 1, dtype=np.float64) / N
+    uu, vv = np.meshgrid(xs, xs, indexing="xy")  # axis0 = v(y), axis1 = u(x)
+    uv = np.stack([uu, vv], axis=-1)
+    d = _oct_uv_to_dir_np(uv)
+    a = d[:-1, :-1]
+    b = d[1:, :-1]
+    c = d[1:, 1:]
+    e = d[:-1, 1:]
+    area = 0.5 * np.linalg.norm(np.cross(b - a, e - a), axis=-1)
+    area += 0.5 * np.linalg.norm(np.cross(b - c, e - c), axis=-1)
+    area *= 4.0 * np.pi / area.sum()
+    return area
+
+
+def _oct_grid_dirs(N: int) -> np.ndarray:
+    """Cell-center directions [N,N,3] (y-major axes) of the octahedral grid."""
+    cs = (np.arange(N, dtype=np.float64) + 0.5) / N
+    cu, cv = np.meshgrid(cs, cs, indexing="xy")
+    cuv = np.stack([cu, cv], axis=-1)
+    return _oct_uv_to_dir_np(cuv)
+
+
+@_functools.lru_cache(maxsize=8)
+def oct_bin_geometry(oct_res: int, supersample: int = 8):
+    """Bin-center directions [O2,3] and per-bin solid angles [O2] (sum=4pi)
+    for the octahedral grid, in the same y-major bin order as dir_to_bin.
+
+    Solid angles come from numerically integrating the mapping's Jacobian
+    (supersampled spherical quad areas) — the quadrature weights that turn
+    sums over bins into integrals over the sphere."""
+    area = _oct_grid_areas(oct_res * supersample)
+    sa = area.reshape(oct_res, supersample, oct_res, supersample).sum(axis=(1, 3))
+    sa = sa.reshape(-1)  # y-major [O2]
+    dirs = _oct_grid_dirs(oct_res).reshape(-1, 3)
+    return dirs.astype(np.float32), sa.astype(np.float32)
+
+
+@_functools.lru_cache(maxsize=8)
+def oct_bin_subgeometry(oct_res: int, sub: int = 3):
+    """Subcell quadrature points grouped by bin: directions [s2, O2, 3] and
+    solid angles [s2, O2], y-major bin order. Used to integrate sharp
+    kernels (GGX lobes comparable to the bin size) over each bin instead of
+    point-sampling them at bin centers."""
+    N = oct_res * sub
+    area = _oct_grid_areas(N).reshape(oct_res, sub, oct_res, sub)
+    dirs = _oct_grid_dirs(N).reshape(oct_res, sub, oct_res, sub, 3)
+    # [y, sy, x, sx] -> [sy*sx, y*x]
+    sa = np.moveaxis(area, 2, 1).reshape(oct_res * oct_res, sub * sub).T
+    dd = np.moveaxis(dirs, 2, 1).reshape(oct_res * oct_res, sub * sub, 3)
+    dd = np.moveaxis(dd, 1, 0)
+    return dd.astype(np.float32), sa.astype(np.float32)
+
+
+def bake_vertex_irradiance_conv(
+    lvis: jnp.ndarray,   # [V, O2, E*3]
+    v_nrm: jnp.ndarray,  # [V, 3]
+    oct_res: int,
+) -> jnp.ndarray:
+    """Per-vertex diffuse irradiance/pi E_d[E, V, 3] as a cosine-kernel
+    quadrature over the octahedral bins: E_d = sum_o max(n.d_o,0) sa_o
+    L_vis(o) / pi. Same integral the reference estimates with its
+    cosine-sampled direction set (dreammat_material.py:554-573,632-641),
+    but with zero gathers — every vertex reads its own contiguous lvis row."""
+    dirs, sa = oct_bin_geometry(oct_res)
+    w = jnp.maximum(v_nrm @ jnp.asarray(dirs).T, 0.0) * jnp.asarray(sa)  # [V,O2]
+    out = jnp.einsum("vo,voc->vc", w, lvis.astype(jnp.float32)) / jnp.pi
+    V = out.shape[0]
+    E = out.shape[-1] // 3
+    return jnp.moveaxis(out.reshape(V, E, 3), 1, 0)  # [E,V,3]
+
+
+def bake_vertex_specular_conv(
+    lvis: jnp.ndarray,   # [V, O2, E*3]
+    refl: jnp.ndarray,   # [V, 3] unit reflection directions
+    alphas,              # (K,) GGX "roughness_sq" levels (TABLE_ALPHAS)
+    oct_res: int,
+    v_chunk: int = 8192,
+    kernel_sub: int = 3,
+) -> jnp.ndarray:
+    """GGX-prefiltered shadowed radiance S[V, K, E, 3] at each vertex's
+    reflection direction, one level per alpha.
+
+    Karis split-sum prefilter (N=V=R) as quadrature over the octahedral
+    bins: w_o = integral_bin D_ggx(NoH, alpha) NoL domega (kernel_sub^2
+    subcell points per bin — sharp lobes span ~1 bin, so point-sampling D at
+    bin centers misallocates mass), S = sum(w L)/sum(w) — the same weighted
+    average the importance-sampled estimator converges to (pdf = D/4 cancels
+    in the normalization). With V=R the half-vector cosine has the closed
+    form NoH = sqrt((1 + R.L)/2). Replaces the per-pixel K*sn-sample
+    radiance gather pass (the round-1 prerender bottleneck) with gather-free
+    per-vertex math."""
+    from dreammat_tpu.models.material import distribution_ggx
+
+    sub_dirs, sub_sa = oct_bin_subgeometry(oct_res, kernel_sub)
+    sub_dirs = jnp.asarray(sub_dirs)  # [s2, O2, 3]
+    sub_sa = jnp.asarray(sub_sa)      # [s2, O2]
+    s2 = sub_dirs.shape[0]
+    alphas = jnp.asarray(alphas, dtype=jnp.float32)  # [K]
+    V = refl.shape[0]
+    O2 = sub_dirs.shape[1]
+    C = lvis.shape[-1]
+    K = alphas.shape[0]
+
+    pad = (-V) % v_chunk
+    refl_p = jnp.concatenate([refl, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))])
+    lvis_p = jnp.concatenate([lvis, jnp.zeros((pad, O2, C), lvis.dtype)])
+
+    def chunk_fn(args):
+        r, lv = args  # [c,3], [c,O2,C]
+        c = r.shape[0]
+        w = jnp.zeros((c, K, O2))
+        for j in range(s2):  # static unroll; accumulates the bin integral
+            RoL = r @ sub_dirs[j].T  # [c,O2]
+            NoL = jnp.maximum(RoL, 0.0)
+            NoH = jnp.sqrt(jnp.clip((1.0 + RoL) * 0.5, 0.0, 1.0))
+            # D squares alpha internally (alpha = roughness^2)
+            D = distribution_ggx(NoH[:, None, :], alphas[None, :, None])
+            w = w + D * (NoL * sub_sa[j])[:, None, :]
+        num = jnp.einsum("vko,voc->vkc", w, lv.astype(jnp.float32))
+        den = jnp.sum(w, axis=-1)[..., None] + 1e-8
+        return num / den  # [c,K,C]
+
+    out = jax.lax.map(
+        chunk_fn,
+        (refl_p.reshape(-1, v_chunk, 3), lvis_p.reshape(-1, v_chunk, O2, C)),
+    )
+    out = out.reshape(-1, K, C)[:V]
+    E = C // 3
+    return out.reshape(V, K, E, 3)
 
 
 def bake_vertex_irradiance(

@@ -56,7 +56,7 @@ def dm():
             "width": 24, "height": 24, "eval_width": 24, "eval_height": 24,
             "fix_view_num": 3, "fix_env_num": 2,
             "cond_height": 24, "cond_width": 24,
-            "prerender_cache_dir": None, "probe_chunk": 512, "n_test_views": 2,
+            "prerender_cache_dir": None, "n_test_views": 2,
         },
         ren, mat,
     )

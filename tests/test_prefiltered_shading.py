@@ -41,7 +41,7 @@ def rig():
     cam = make_fixed_cameras(1)
     cd = camera_rays_and_matrices(cam, 0, 32, 32)
     gb = ren.build_gbuffer(cd["rays_o"], cd["rays_d"], cd["w2c"])
-    _, tabs = pre.render_probes_for_view(ren, mat, gb, 1, jax.random.PRNGKey(0), chunk=512)
+    _, tabs = pre.render_probes_for_view(ren, mat, gb, 1, cd["camera_position"])
     return geo, mat, ren, gb, jnp.asarray(tabs[0], dtype=jnp.float32)
 
 
