@@ -203,6 +203,7 @@ def generate_dataset_for_mesh(
     os.makedirs(out_dir, exist_ok=True)
     np.savez_compressed(
         os.path.join(out_dir, "data.npz"),
-        colors=colors, depths=data.depths, normals=data.normals, lightmaps=data.lightmaps,
+        colors=colors, depths=np.asarray(data.depths),
+        normals=np.asarray(data.normals), lightmaps=np.asarray(data.lightmaps),
     )
     return out_dir

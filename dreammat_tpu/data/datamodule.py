@@ -96,7 +96,9 @@ class RandomCameraDataModule(BaseObject):
                 cfg.reference_cache_dir, cfg.fix_view_num, cfg.fix_env_num,
                 cfg.cond_height, cfg.cond_width,
             )
-            self.data.lightmaps, self.data.depths, self.data.normals = lm, d, n
+            self.data.lightmaps = jnp.asarray(lm)
+            self.data.depths = jnp.asarray(d)
+            self.data.normals = jnp.asarray(n)
             dreammat_tpu.info("ingested reference Blender cache from %s", cfg.reference_cache_dir)
 
     # ------------------------------------------------------------------
@@ -107,26 +109,33 @@ class RandomCameraDataModule(BaseObject):
         cfg = self.cfg
         view_id = int(self.rng.randint(0, cfg.fix_view_num))
         env_id = int(self.rng.randint(0, cfg.fix_env_num))
-        cond = np.concatenate(
+        # condition stack + light table assembled by DEVICE slicing — the
+        # prerender outputs are device-resident (host<->device copies per
+        # step would dominate through the device tunnel)
+        cond = jnp.concatenate(
             [
-                self.data.depths[view_id],
-                self.data.normals[view_id],
-                self.data.lightmaps[view_id, env_id],
+                self.data.depths[view_id].astype(jnp.float32),
+                self.data.normals[view_id].astype(jnp.float32),
+                self.data.lightmaps[view_id, env_id].astype(jnp.float32),
             ],
             axis=-1,
-        ).astype(np.float32)  # [h,w,22]
+        )  # [h,w,22]
         cam = self.cameras
         light_table = None
-        if self.data.light_tables is not None:
-            light_table = jnp.asarray(
-                self.data.light_tables[view_id, env_id], dtype=jnp.float32
-            )
+        if self.data.table_spec is not None:
+            light_table = jnp.concatenate(
+                [
+                    jnp.asarray(self.data.table_diff)[env_id][:, None],
+                    self.data.table_spec[view_id, env_id].astype(jnp.float32),
+                ],
+                axis=1,
+            )  # [V, 1+K, 3]
         return {
             "view_id": view_id,
             "env_id": jnp.int32(env_id),
             "gbuffer": self.data.gbuffers[view_id],
             "light_table": light_table,
-            "condition_map": jnp.asarray(cond)[None],  # [1,h,w,22]
+            "condition_map": cond[None],  # [1,h,w,22]
             "elevation": jnp.asarray([cam.elevation_deg[view_id]]),
             "azimuth": jnp.asarray([cam.azimuth_deg[view_id]]),
             "camera_distances": jnp.asarray([cam.camera_distances[view_id]]),
@@ -153,9 +162,23 @@ class RandomCameraDataModule(BaseObject):
         gb = self.renderer.build_gbuffer(
             cd["rays_o"], cd["rays_d"], cd["w2c"], pixel_budget=budget
         )
+        # eval views shade through the same prefiltered fast path as
+        # training when tables are available: one per-view specular conv
+        # bake (ms) instead of the full streamed-MC estimator per view
+        light_table = None
+        if (
+            self.data is not None
+            and self.data.lvis is not None
+            and getattr(self.material.cfg, "use_prefiltered", False)
+        ):
+            light_table = prerender_lib.vertex_table_for_camera(
+                self.renderer, self.material, self.data,
+                cd["camera_position"], env_id,
+            )
         return {
             "env_id": jnp.int32(env_id),
             "gbuffer": gb,
+            "light_table": light_table,
             "elevation": jnp.asarray([self.eval_cameras.elevation_deg[i]]),
             "azimuth": jnp.asarray([self.eval_cameras.azimuth_deg[i]]),
             "camera_distances": jnp.asarray([self.eval_cameras.camera_distances[i]]),

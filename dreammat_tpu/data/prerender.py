@@ -23,7 +23,7 @@ from __future__ import annotations
 import hashlib
 import os
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,23 +50,26 @@ _PROBE_SET_IDX = {0.0: 0, 0.5: 2, 1.0: 4}  # probe linear roughness -> set index
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("oct_res", "n_envs"))
-def _probe_view_conv(
+def _probe_view_body(
     v_pos, v_nrm, lvis, e_d_vertex, fg_lut, cam_pos,
     fg_normal, fg_viewdir, fg_tri, fg_bary, fg_valid, fg_idx, mask,
-    *, oct_res: int, n_envs: int,
+    oct_res: int, n_envs: int,
 ):
-    """One view's probe images + light tables via the octahedral split-sum
-    convolution bake (zero per-sample gathers — the round-1 bottleneck).
+    """One view's probe images + per-VERTEX light table via the octahedral
+    split-sum convolution bake (zero per-sample gathers — the round-1
+    bottleneck). vmappable over views.
 
     Per vertex: reflection direction for THIS camera -> GGX-prefiltered
     shadowed radiance S_k at each TABLE_ALPHAS level (quadrature over the
     lvis bins, ops/visibility.bake_vertex_specular_conv). Per pixel: a
-    barycentric mix of the vertex (E_d, S_1..K) rows IS the light table,
-    and the six probes follow from the Karis FG LUT:
+    barycentric mix of the vertex (E_d, S_1..K) rows, and the six probes
+    follow from the Karis FG LUT:
         probe(m, r) = (1-m) E_d + (F0(m) A + B) S_level(r)
     — the same factorization shade_prefiltered uses in the hot loop, so the
-    probes and the training-time shading are mutually consistent."""
+    probes and the training-time shading are mutually consistent.
+
+    Returns (probe images [E,H,W,18] float32 sRGB, vertex table
+    [E, V, 1+K, 3] float32)."""
     from dreammat_tpu.ops import visibility as vis_lib
 
     H, W = mask.shape
@@ -86,7 +89,7 @@ def _probe_view_conv(
     P = tp.shape[0]
     tables = jnp.moveaxis(tp.reshape(P, 1 + K, n_envs, 3), 2, 0)  # [E,P,1+K,3]
 
-    NoV = uops.saturate_dot(fg_normal, fg_viewdir)  # [P,1]
+    NoV = uops.saturate_dot(fg_normal.astype(jnp.float32), fg_viewdir.astype(jnp.float32))
     per_probe = []
     for (m, r) in PROBE_MR:
         li = _PROBE_SET_IDX[r]
@@ -100,7 +103,54 @@ def _probe_view_conv(
     vals = jnp.where(fg_valid[None, :, None], out, 0.0)
     img = img.at[:, fg_idx].add(vals)
     img = img * mask.reshape(1, -1, 1).astype(jnp.float32)
-    return img.reshape(n_envs, H, W, 18), tables
+    # vertex table in [E, V, 1+K, 3] layout (storage order)
+    tab_ev = jnp.moveaxis(tab_v, 2, 0)
+    return img.reshape(n_envs, H, W, 18), tab_ev
+
+
+@partial(jax.jit, static_argnames=("oct_res", "n_envs"))
+def _probe_view_conv(
+    v_pos, v_nrm, lvis, e_d_vertex, fg_lut, cam_pos,
+    fg_normal, fg_viewdir, fg_tri, fg_bary, fg_valid, fg_idx, mask,
+    *, oct_res: int, n_envs: int,
+):
+    return _probe_view_body(
+        v_pos, v_nrm, lvis, e_d_vertex, fg_lut, cam_pos,
+        fg_normal, fg_viewdir, fg_tri, fg_bary, fg_valid, fg_idx, mask,
+        oct_res, n_envs,
+    )
+
+
+@partial(jax.jit, static_argnames=("oct_res", "n_envs", "cond_h", "cond_w"))
+def _probe_views_conv(
+    v_pos, v_nrm, lvis, e_d_vertex, fg_lut, cam_pos,
+    fg_normal, fg_viewdir, fg_tri, fg_bary, fg_valid, fg_idx,
+    mask, cn_depth, cn_normal,
+    *, oct_res: int, n_envs: int, cond_h: int, cond_w: int,
+):
+    """Batched (vmapped over views) probe/table pass, resized to condition
+    resolution inside the same dispatch. Everything stays on device: the
+    only host pulls are the final float16 stacks — through the device
+    tunnel, per-view pulls were the round-1 probe-loop bottleneck."""
+    def one(cp, fn, fv, ft, fb, fval, fi, m, cd, cn):
+        img, tab = _probe_view_body(
+            v_pos, v_nrm, lvis, e_d_vertex, fg_lut, cp,
+            fn, fv, ft, fb, fval, fi, m, oct_res, n_envs,
+        )
+        img_c = jax.image.resize(img, (n_envs, cond_h, cond_w, 18), method="linear")
+        d_c = jax.image.resize(cd.astype(jnp.float32), (cond_h, cond_w, 1), method="linear")
+        n_c = jax.image.resize(cn.astype(jnp.float32), (cond_h, cond_w, 3), method="linear")
+        return (
+            img_c.astype(jnp.float16),
+            tab.astype(jnp.float16),
+            d_c.astype(jnp.float16),
+            n_c.astype(jnp.float16),
+        )
+
+    return jax.vmap(one)(
+        cam_pos, fg_normal, fg_viewdir, fg_tri, fg_bary, fg_valid, fg_idx,
+        mask, cn_depth, cn_normal,
+    )
 
 
 def render_probes_for_view(
@@ -115,7 +165,8 @@ def render_probes_for_view(
     fg_lut=None,
 ):
     """Fast (default) probe/table pass for one G-buffer — see
-    _probe_view_conv. The per-pixel Monte-Carlo variant survives as
+    _probe_view_body. Returns (probes [E,H,W,18], vertex table
+    [E,V,1+K,3]). The per-pixel Monte-Carlo variant survives as
     render_probes_for_view_mc for parity/error measurement."""
     from dreammat_tpu.ops import envmap as _envlib
     from dreammat_tpu.ops import visibility as vis_lib
@@ -140,6 +191,27 @@ def render_probes_for_view(
         jnp.asarray(cam_pos, dtype=jnp.float32),
         gb.fg_normal, gb.fg_viewdir, gb.fg_tri, gb.fg_bary, gb.fg_valid,
         gb.fg_idx, gb.mask, oct_res=oct_res, n_envs=n_envs,
+    )
+
+
+def vertex_table_for_camera(renderer, material, data, cam_pos, env_id: int):
+    """Per-vertex light table [V, 1+K, 3] for an arbitrary camera position
+    (e.g. eval/test views): one specular conv bake against the cached
+    shadowed radiance — milliseconds, so eval views shade through the same
+    fast prefiltered path as training."""
+    from dreammat_tpu.ops import visibility as vis_lib
+
+    mesh = renderer.mesh
+    viewdir_v = uops.safe_normalize(
+        jnp.asarray(cam_pos, dtype=jnp.float32)[None, :] - mesh.v_pos
+    )
+    refl_v = uops.safe_normalize(uops.reflect(viewdir_v, mesh.v_nrm))
+    S_v = vis_lib.bake_vertex_specular_conv(
+        data.lvis, refl_v, TABLE_ALPHAS, data.oct_res
+    )  # [V,K,E,3]
+    e = jnp.asarray(data.table_diff)[env_id]  # [V,3]
+    return jnp.concatenate(
+        [e[:, None].astype(jnp.float32), S_v[:, :, env_id]], axis=1
     )
 
 
@@ -297,22 +369,23 @@ def render_probes_for_view_mc(
 
 @dataclass
 class PrerenderData:
-    """Everything precomputed per (mesh, fixed cameras)."""
+    """Everything precomputed per (mesh, fixed cameras). All arrays are
+    DEVICE-resident float16/float32 (jnp) — through the device tunnel,
+    host<->device copies are orders of magnitude slower than the compute
+    that produced them, so per-step batches are assembled by slicing these
+    on device."""
 
-    gbuffers: list                 # List[GBufferView], len n_views
-    lightmaps: np.ndarray          # [n_views, n_envs, h, w, 18] float16 (host RAM)
-    depths: np.ndarray             # [n_views, h, w, 1] float16
-    normals: np.ndarray            # [n_views, h, w, 3] float16
-    # per-pixel visibility-aware split-sum tables (fast shading path):
-    # [n_views, n_envs, P, 1+K, 3] float16, or None
-    light_tables: "np.ndarray | None" = None
+    gbuffers: list                 # List[GBufferView], len n_views (device)
+    lightmaps: Any                 # [n_views, n_envs, h, w, 18] f16 device
+    depths: Any                    # [n_views, h, w, 1] f16 device
+    normals: Any                   # [n_views, h, w, 3] f16 device
+    # per-VERTEX split-sum tables (fast shading path):
+    table_spec: Any = None         # [n_views, n_envs, V, K, 3] f16 device
+    table_diff: Any = None         # [n_envs, V, 3] f32 device (view-indep.)
+    lvis: Any = None               # [V, O2, E*3] f16 device (for eval views)
+    oct_res: int = 16
     cond_height: int = 256
     cond_width: int = 256
-
-
-def _resize_map(x: jnp.ndarray, h: int, w: int) -> np.ndarray:
-    out = jax.image.resize(x, (h, w, x.shape[-1]), method="linear")
-    return np.asarray(out, dtype=np.float16)
 
 
 def mesh_signature(mesh, cam: CameraSet, height: int, width: int, n_envs: int) -> str:
@@ -348,60 +421,25 @@ def prerender(
 
     import time as _time
 
-    gbuffers = []
-    cam_positions = []
-    # first pass: G-buffers (each auto-sizes; unified to the max below so a
-    # single jitted shade_view shape covers every view)
+    # all views' G-buffers in a handful of device dispatches (one shared
+    # pixel budget, so a single jitted shade_view shape covers every view)
     _t0 = _time.time()
-    for i in range(len(cam)):
-        cd = camera_rays_and_matrices(cam, i, height, width)
-        cam_positions.append(np.asarray(cd["camera_position"], dtype=np.float32))
-        gb = renderer.build_gbuffer(
-            cd["rays_o"], cd["rays_d"], cd["w2c"], pixel_budget=pixel_budget
-        )
-        gbuffers.append(gb)
-    dreammat_tpu.info("prerender: G-buffers for %d views in %.1fs", len(cam), _time.time() - _t0)
-    # unify budgets to the max so one jitted shade_view handles every view
-    max_p = max(gb.fg_idx.shape[0] for gb in gbuffers)
-    uni = []
-    for gb in gbuffers:
-        P = gb.fg_idx.shape[0]
-        if P < max_p:
-            pad = max_p - P
-            gb = gb._replace(
-                fg_idx=jnp.concatenate([gb.fg_idx, jnp.zeros(pad, jnp.int32)]),
-                fg_valid=jnp.concatenate([gb.fg_valid, jnp.zeros(pad, bool)]),
-                fg_pos=jnp.concatenate([gb.fg_pos, jnp.zeros((pad, 3))]),
-                fg_normal=jnp.concatenate([gb.fg_normal, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))]),
-                fg_viewdir=jnp.concatenate([gb.fg_viewdir, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))]),
-                fg_tri=jnp.concatenate([gb.fg_tri, jnp.zeros((pad, 3), jnp.int32)]),
-                fg_bary=jnp.concatenate([gb.fg_bary, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (pad, 1))]),
-                fg_uv=jnp.concatenate([gb.fg_uv, jnp.zeros((pad, 2))]),
-            )
-        uni.append(gb)
-    gbuffers = uni
-
-    if cache_path and os.path.exists(cache_path):
-        z = np.load(cache_path)
-        if "light_tables" in z:
-            dreammat_tpu.info("loaded prerender cache %s", cache_path)
-            return PrerenderData(
-                gbuffers=gbuffers,
-                lightmaps=z["lightmaps"],
-                depths=z["depths"],
-                normals=z["normals"],
-                light_tables=z["light_tables"],
-                cond_height=cond_height,
-                cond_width=cond_width,
-            )
-        dreammat_tpu.info("prerender cache %s lacks light tables; regenerating", cache_path)
-
-    K1 = 1 + len(TABLE_ALPHAS)
-    max_p = gbuffers[0].fg_idx.shape[0]
+    gbuffers, gb_stack = renderer.build_gbuffers_batched(
+        cam, height, width, pixel_budget=pixel_budget
+    )
+    jax.block_until_ready(gb_stack.fg_idx)
+    dreammat_tpu.info(
+        "prerender: G-buffers for %d views in %.1fs", len(cam), _time.time() - _t0
+    )
+    cam_positions = np.asarray(uops.camera_position_from_spherical(
+        jnp.asarray(cam.elevation_deg), jnp.asarray(cam.azimuth_deg),
+        jnp.asarray(cam.camera_distances),
+    ))
 
     # mesh-wide bakes shared by all views: per-vertex visibility (if the
     # renderer hasn't already), fused env x visibility radiance cache, and
-    # view-independent diffuse irradiance
+    # view-independent diffuse irradiance. Needed even on cache hits (lvis
+    # serves eval-view tables), so done before the cache check.
     from dreammat_tpu.ops import envmap as envmap_lib_
     from dreammat_tpu.ops import visibility as vis_lib
 
@@ -421,37 +459,77 @@ def prerender(
     jax.block_until_ready(e_d_vertex)
     dreammat_tpu.info("prerender: mesh-wide bakes in %.1fs", _time.time() - _t0)
 
+    if cache_path and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        if "table_spec" in z:
+            dreammat_tpu.info("loaded prerender cache %s", cache_path)
+            return PrerenderData(
+                gbuffers=gbuffers,
+                lightmaps=jnp.asarray(z["lightmaps"]),
+                depths=jnp.asarray(z["depths"]),
+                normals=jnp.asarray(z["normals"]),
+                table_spec=jnp.asarray(z["table_spec"]),
+                table_diff=e_d_vertex,
+                lvis=lvis,
+                oct_res=baked.oct_res,
+                cond_height=cond_height,
+                cond_width=cond_width,
+            )
+        dreammat_tpu.info("prerender cache %s is stale; regenerating", cache_path)
+
+    # probes + vertex tables: vmapped over view chunks, resized to condition
+    # resolution inside the dispatch; all outputs stay on device
     _t0 = _time.time()
-    lightmaps = np.zeros((len(cam), n_envs, cond_height, cond_width, 18), dtype=np.float16)
-    light_tables = np.zeros((len(cam), n_envs, max_p, K1, 3), dtype=np.float16)
-    depths = np.zeros((len(cam), cond_height, cond_width, 1), dtype=np.float16)
-    normals = np.zeros((len(cam), cond_height, cond_width, 3), dtype=np.float16)
-    for i, gb in enumerate(gbuffers):
-        probes, tabs = render_probes_for_view(
-            renderer, material, gb, n_envs, cam_positions[i],
-            lvis=lvis, e_d_vertex=e_d_vertex, oct_res=baked.oct_res,
-            fg_lut=fg_lut,
-        )
-        for e in range(n_envs):
-            lightmaps[i, e] = _resize_map(probes[e], cond_height, cond_width)
-        light_tables[i] = np.asarray(tabs, dtype=np.float16)
-        depths[i] = _resize_map(gb.cn_depth, cond_height, cond_width)
-        normals[i] = _resize_map(gb.cn_normal, cond_height, cond_width)
-        if (i + 1) % 32 == 0:
-            dreammat_tpu.info("prerender: %d/%d probe views", i + 1, len(cam))
+    Nv = len(cam)
+    vc = min(4, Nv)
+    n_pad = (-Nv) % vc
+    cam_pos_dev = jnp.asarray(
+        np.concatenate([cam_positions, np.repeat(cam_positions[-1:], n_pad, 0)]),
+        dtype=jnp.float32,
+    )
+    def padded_stack(x):
+        if n_pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.repeat(x[-1:], n_pad, axis=0)])
+    gbp = jax.tree_util.tree_map(padded_stack, gb_stack)
+    outs = []
+    for s in range(0, Nv + n_pad, vc):
+        sl = slice(s, s + vc)
+        outs.append(_probe_views_conv(
+            renderer.mesh.v_pos, renderer.mesh.v_nrm, lvis, e_d_vertex,
+            fg_lut, cam_pos_dev[sl],
+            gbp.fg_normal[sl], gbp.fg_viewdir[sl], gbp.fg_tri[sl],
+            gbp.fg_bary[sl], gbp.fg_valid[sl], gbp.fg_idx[sl],
+            gbp.mask[sl], gbp.cn_depth[sl], gbp.cn_normal[sl],
+            oct_res=baked.oct_res, n_envs=n_envs,
+            cond_h=cond_height, cond_w=cond_width,
+        ))
+    lightmaps, tables, depths, normals = (
+        jnp.concatenate([o[i] for o in outs])[:Nv] for i in range(4)
+    )
+    # [Nv, E, V, 1+K, 3] -> diffuse slot is view-independent; store specular
+    table_spec = tables[:, :, :, 1:]
+    jax.block_until_ready(table_spec)
     dreammat_tpu.info(
-        "prerender: probes+tables for %d views in %.1fs", len(cam), _time.time() - _t0
+        "prerender: probes+tables for %d views in %.1fs", Nv, _time.time() - _t0
     )
 
     if cache_path:
+        _t0 = _time.time()
         np.savez_compressed(
-            cache_path, lightmaps=lightmaps, depths=depths, normals=normals,
-            light_tables=light_tables,
+            cache_path,
+            lightmaps=np.asarray(lightmaps),
+            depths=np.asarray(depths),
+            normals=np.asarray(normals),
+            table_spec=np.asarray(table_spec),
         )
-        dreammat_tpu.info("saved prerender cache %s", cache_path)
+        dreammat_tpu.info(
+            "saved prerender cache %s (%.1fs)", cache_path, _time.time() - _t0
+        )
     return PrerenderData(
         gbuffers=gbuffers, lightmaps=lightmaps, depths=depths, normals=normals,
-        light_tables=light_tables, cond_height=cond_height, cond_width=cond_width,
+        table_spec=table_spec, table_diff=e_d_vertex, lvis=lvis,
+        oct_res=baked.oct_res, cond_height=cond_height, cond_width=cond_width,
     )
 
 

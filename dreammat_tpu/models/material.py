@@ -506,18 +506,25 @@ class DreamMatMaterial(BaseObject):
 
     def shade_prefiltered(
         self, normals, view_dirs, metallic, roughness_sq, albedo, light_table,
+        vis_data=None,
     ) -> Dict[str, jnp.ndarray]:
-        """Per-pixel visibility-aware split-sum shading.
+        """Per-VERTEX visibility-aware split-sum shading.
 
-        ``light_table`` [P, 1+K, 3] from data/prerender.py: slot 0 = diffuse
-        irradiance E_d (the reference's diffuse estimator precomputed); slots
-        1..K = GGX-prefiltered radiance at TABLE_ALPHAS. Then
+        ``light_table`` [V, 1+K, 3] from data/prerender.py: slot 0 = diffuse
+        irradiance E_d at each vertex (the reference's diffuse estimator
+        precomputed); slots 1..K = GGX-prefiltered radiance at TABLE_ALPHAS
+        for this view's per-vertex reflection directions. With
+        ``vis_data=(tri, bary)`` the per-pixel table row is the barycentric
+        mix of its triangle's vertex rows (exactly what the prerender itself
+        would store per pixel — vertex storage is 20-50x smaller). Then
 
             color = albedo * E_d + (F0 * fgA + fgB) * S(roughness)
 
         — the Karis split-sum factorization of the reference's specular
         estimator (weights w = G*VoH/(NoV*NoH) match the FG LUT's Gvis), with
-        per-pixel shadowed light instead of a global environment."""
+        per-pixel shadowed light instead of a global environment.
+
+        A per-PIXEL table [P, 1+K, 3] is also accepted (vis_data=None)."""
         from dreammat_tpu.data.prerender import TABLE_ALPHAS
 
         if self.fg_lut is None:
@@ -527,6 +534,15 @@ class DreamMatMaterial(BaseObject):
             )
         levels = jnp.asarray(TABLE_ALPHAS, dtype=jnp.float32)
         K = levels.shape[0]
+        if vis_data is not None:
+            tri, bary = vis_data
+            flat = light_table.reshape(light_table.shape[0], -1).astype(jnp.float32)
+            rows = (
+                bary[:, 0:1] * flat[tri[:, 0]]
+                + bary[:, 1:2] * flat[tri[:, 1]]
+                + bary[:, 2:3] * flat[tri[:, 2]]
+            )
+            light_table = rows.reshape(tri.shape[0], 1 + K, 3)
         E_d = light_table[:, 0].astype(jnp.float32)
         S = light_table[:, 1:].astype(jnp.float32)  # [P,K,3]
 
@@ -613,7 +629,8 @@ class DreamMatMaterial(BaseObject):
         if self.cfg.use_raytracing:
             if self.cfg.use_prefiltered and light_table is not None:
                 out = self.shade_prefiltered(
-                    normals, viewdirs, metallic, roughness_sq, albedo, light_table
+                    normals, viewdirs, metallic, roughness_sq, albedo, light_table,
+                    vis_data=vis_data,
                 )
             else:
                 out = self.shade_raytracing(

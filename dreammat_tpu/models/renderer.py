@@ -23,6 +23,7 @@ raytracing_renderer.py:85-343). Architectural differences, by design:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any, Dict, NamedTuple, Optional
 
@@ -51,6 +52,128 @@ class GBufferView(NamedTuple):
     fg_tri: jnp.ndarray      # [P,3] int32 vertex ids of the hit triangle
     fg_bary: jnp.ndarray     # [P,3] barycentric weights
     fg_uv: jnp.ndarray       # [P,2] interpolated texture coords (zeros if none)
+
+
+def _views_rays(elev, azim, dist, fovy_deg, H: int, W: int):
+    """Device-side camera rays for a batch of spherical cameras. Matches
+    data/cameras.camera_rays_and_matrices (pixel centers, cx=W/2, y-flip)."""
+    pos = uops.camera_position_from_spherical(elev, azim, dist)  # [c,3]
+    c2w = uops.get_c2w(pos)
+    focal = 0.5 * H / jnp.tan(0.5 * jnp.deg2rad(fovy_deg))  # [c]
+    i = jnp.arange(W, dtype=jnp.float32) + 0.5
+    j = jnp.arange(H, dtype=jnp.float32) + 0.5
+    ii, jj = jnp.meshgrid(i, j, indexing="xy")
+    base = jnp.stack([ii - W / 2.0, -(jj - H / 2.0)], axis=-1)  # [H,W,2]
+    c = pos.shape[0]
+    dirs = jnp.concatenate(
+        [base[None] / focal[:, None, None, None],
+         -jnp.ones((c, H, W, 1), jnp.float32)],
+        axis=-1,
+    )
+    rays_o, rays_d = uops.get_rays(dirs, c2w, keepdim=True)  # [c,H,W,3]
+    return pos, c2w, rays_o, rays_d
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def _cast_views(bvh, elev, azim, dist, fovy_deg, *, H: int, W: int):
+    """Cast a batch of views' camera rays in one dispatch."""
+    _, _, rays_o, rays_d = _views_rays(elev, azim, dist, fovy_deg, H, W)
+    out = bvh_lib.cast_rays_chunked(
+        bvh, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
+    )
+    c = elev.shape[0]
+    return {k: out[k].reshape(c, H * W) for k in ("face", "t", "u", "v")}
+
+
+@functools.partial(jax.jit, static_argnames=("P", "H", "W", "has_uv"))
+def _assemble_views(
+    mesh_data, face, t, u, v, elev, azim, dist, fovy_deg,
+    *, P: int, H: int, W: int, has_uv: bool,
+):
+    """Per-view G-buffer assembly, fully on device. The reference's boolean
+    ``selector`` fancy-indexing (raytracing_renderer.py:126-207) and the
+    round-1 host-side np.nonzero both become a device sort-compaction to a
+    static pixel budget P; foreground overflow is strided (the round-1 host
+    path used np.linspace subsampling — same policy)."""
+    t_pos_idx, v_nrm, v_tex, t_tex_idx = mesh_data
+    _, c2w, rays_o, rays_d = _views_rays(elev, azim, dist, fovy_deg, H, W)
+    w2c = uops.get_w2c(c2w)
+    HW = H * W
+
+    def one(face, t, u, v, ro, rd, w2c_):
+        hit = face >= 0
+        f_safe = jnp.maximum(face, 0)
+        u_ = u[:, None]
+        v_ = v[:, None]
+        tri_all = t_pos_idx[f_safe]  # [HW,3]
+        n_all = uops.safe_normalize(
+            (1 - u_ - v_) * v_nrm[tri_all[:, 0]]
+            + u_ * v_nrm[tri_all[:, 1]]
+            + v_ * v_nrm[tri_all[:, 2]]
+        )
+        # controlnet-style view-space normal (raytracing_renderer.py:326-331)
+        n_view = uops.safe_normalize(
+            jnp.einsum("nk,ik->ni", n_all, w2c_[:3, :3], precision="highest")
+        )
+        cn = 0.5 * (n_view + 1.0)
+        cn = cn.at[:, 0].set(1.0 - cn[:, 0])  # bae convention x-flip
+        cn_normal = jnp.where(hit[:, None], cn, jnp.asarray([0.5, 0.5, 1.0]))
+        # inverse-normalized depth (raytracing_renderer.py:333-343)
+        min_val = 0.3
+        inv = 1.0 / (t + 1e-6)
+        dmax = jnp.max(jnp.where(hit, inv, -jnp.inf))
+        dmin = jnp.min(jnp.where(hit, inv, jnp.inf))
+        dn = (1 - min_val) * (inv - dmin) / (dmax - dmin + 1e-6) + min_val
+        cn_depth = jnp.where(hit, dn, 0.0)
+
+        # fixed-budget foreground compaction: ascending sort of hit pixel
+        # indices (misses sort to HW); strided pick when count > P
+        idxs = jnp.where(hit, jnp.arange(HW, dtype=jnp.int32), HW)
+        srt = jnp.sort(idxs)
+        count = jnp.sum(hit)
+        stride = jnp.maximum(count, P).astype(jnp.float32) / P
+        sel = jnp.floor(jnp.arange(P, dtype=jnp.float32) * stride).astype(jnp.int32)
+        srt_p = srt[jnp.clip(sel, 0, HW - 1)]
+        valid = srt_p < HW
+        fg_idx = jnp.where(valid, srt_p, 0).astype(jnp.int32)
+
+        tg = t[fg_idx]
+        ug = u[fg_idx][:, None]
+        vg = v[fg_idx][:, None]
+        fg_face = f_safe[fg_idx]
+        tri = t_pos_idx[fg_face]
+        nrm = uops.safe_normalize(
+            (1 - ug - vg) * v_nrm[tri[:, 0]] + ug * v_nrm[tri[:, 1]] + vg * v_nrm[tri[:, 2]]
+        )
+        up = jnp.asarray([0.0, 0.0, 1.0])
+        nrm = jnp.where(valid[:, None], nrm, up)
+        rof = ro.reshape(-1, 3)[fg_idx]
+        rdf = rd.reshape(-1, 3)[fg_idx]
+        fg_pos = jnp.where(valid[:, None], rof + tg[:, None] * rdf, 0.0)
+        fg_viewdir = jnp.where(valid[:, None], -uops.safe_normalize(rdf), up)
+        bary = jnp.concatenate([1.0 - ug - vg, ug, vg], axis=-1)
+        bary = jnp.where(valid[:, None], bary, jnp.asarray([1.0, 0.0, 0.0]))
+        if has_uv:
+            tt = t_tex_idx[fg_face]
+            fg_uv = (1 - ug - vg) * v_tex[tt[:, 0]] + ug * v_tex[tt[:, 1]] + vg * v_tex[tt[:, 2]]
+            fg_uv = jnp.where(valid[:, None], fg_uv, 0.0)
+        else:
+            fg_uv = jnp.zeros((P, 2), jnp.float32)
+        return GBufferView(
+            mask=hit.reshape(H, W),
+            cn_normal=cn_normal.reshape(H, W, 3).astype(jnp.float16),
+            cn_depth=cn_depth.reshape(H, W, 1).astype(jnp.float16),
+            fg_idx=fg_idx,
+            fg_valid=valid,
+            fg_pos=fg_pos,
+            fg_normal=nrm,
+            fg_viewdir=fg_viewdir,
+            fg_tri=tri,
+            fg_bary=bary,
+            fg_uv=fg_uv,
+        )
+
+    return jax.vmap(one)(face, t, u, v, rays_o, rays_d, w2c)
 
 
 @dreammat_tpu.register("raytracing-renderer")
@@ -189,6 +312,80 @@ class RaytraceRenderer(BaseObject):
         )
 
     # ------------------------------------------------------------------
+    def build_gbuffers_batched(
+        self,
+        cam,  # data.cameras.CameraSet
+        height: int,
+        width: int,
+        pixel_budget: Optional[int] = None,
+        view_chunk: int = 8,
+    ):
+        """All views' G-buffers in a handful of device dispatches.
+
+        The round-1 per-view loop cost ~7 s/view on hardware — almost all of
+        it per-view host round-trips through the device tunnel (the casting
+        itself is ~0.1 s/view of VPU math). Here rays are generated ON
+        device from the spherical camera parameters, all views are cast in
+        view-chunked dispatches, the only host pull is the [Nv] foreground
+        counts, and assembly (including the foreground compaction that used
+        host np.nonzero) happens in one vmapped jit per chunk.
+
+        Returns (gbuffers, stacked): a per-view GBufferView list (device
+        slices) and the stacked GBufferView-of-arrays ([Nv, ...] leaves)."""
+        Nv = len(cam)
+        vc = min(view_chunk, Nv)
+        n_pad = (-Nv) % vc
+        def cam_arr(x):
+            x = np.asarray(x, dtype=np.float32)
+            return jnp.asarray(np.concatenate([x, np.repeat(x[-1:], n_pad, 0)]))
+        elev = cam_arr(cam.elevation_deg)
+        azim = cam_arr(cam.azimuth_deg)
+        dist = cam_arr(cam.camera_distances)
+        fovy = cam_arr(cam.fovy_deg)
+        Np = Nv + n_pad
+
+        casts = []
+        for s in range(0, Np, vc):
+            sl = slice(s, s + vc)
+            casts.append(_cast_views(
+                self.bvh, elev[sl], azim[sl], dist[sl], fovy[sl],
+                H=height, W=width,
+            ))
+        cast = {k: jnp.concatenate([c[k] for c in casts]) for k in casts[0]}
+
+        counts = np.asarray(jnp.sum(cast["face"] >= 0, axis=1))[:Nv]
+        P = pixel_budget or self.cfg.pixel_budget
+        if P is None or P <= 0:
+            P = int(np.ceil(max(int(counts.max()), 1) / 1024) * 1024)
+        if int(counts.max()) > P:
+            dreammat_tpu.warn(
+                "foreground pixels (%d) exceed pixel budget (%d); subsampling",
+                int(counts.max()), P,
+            )
+
+        mesh_data = (
+            self.mesh.t_pos_idx, self.mesh.v_nrm,
+            self.mesh.v_tex, self.mesh.t_tex_idx,
+        )
+        has_uv = self.mesh.v_tex is not None and self.mesh.t_tex_idx is not None
+        outs = []
+        for s in range(0, Np, vc):
+            sl = slice(s, s + vc)
+            outs.append(_assemble_views(
+                mesh_data,
+                cast["face"][sl], cast["t"][sl], cast["u"][sl], cast["v"][sl],
+                elev[sl], azim[sl], dist[sl], fovy[sl],
+                P=P, H=height, W=width, has_uv=has_uv,
+            ))
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs)[:Nv], *outs
+        )
+        gbuffers = [
+            jax.tree_util.tree_map(lambda x, i=i: x[i], stacked) for i in range(Nv)
+        ]
+        return gbuffers, stacked
+
+    # ------------------------------------------------------------------
     def shade_view(
         self,
         geo_params: Dict[str, Any],
@@ -249,8 +446,8 @@ class RaytraceRenderer(BaseObject):
         out = {
             "comp_rgb": composite(shade_out["color"], white),
             "opacity": gb.mask[..., None].astype(jnp.float32),
-            "comp_depth": gb.cn_depth,
-            "comp_normal": gb.cn_normal,
+            "comp_depth": gb.cn_depth.astype(jnp.float32),
+            "comp_normal": gb.cn_normal.astype(jnp.float32),
             "albedo": composite(shade_out["albedo"], white),
             "metalness": composite(shade_out["metalness"], jnp.ones((1, 1))),
             "roughness": composite(shade_out["roughness"], jnp.ones((1, 1))),

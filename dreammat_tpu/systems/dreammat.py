@@ -156,8 +156,11 @@ class DreamMat(BaseObject):
     def make_render_fn(self):
         renderer = self.renderer
 
-        def render(geo_params, gbuffer, env_id, rng):
-            return renderer.shade_view(geo_params, gbuffer, env_id, rng, is_train=False)
+        def render(geo_params, gbuffer, env_id, rng, light_table=None):
+            return renderer.shade_view(
+                geo_params, gbuffer, env_id, rng, is_train=False,
+                light_table=light_table,
+            )
 
         return jax.jit(render)
 
@@ -246,7 +249,8 @@ class DreamMat(BaseObject):
         """Train-time grid: render channels + condition-map slices
         (reference dreammat.py:88-179 saves 8 render + condition channels)."""
         out = (self._render_fn or self.make_render_fn())(
-            state["geo"], batch["gbuffer"], batch["env_id"], jax.random.PRNGKey(step)
+            state["geo"], batch["gbuffer"], batch["env_id"], jax.random.PRNGKey(step),
+            batch.get("light_table"),
         )
         cond = np.asarray(batch["condition_map"])[0]
         rows = [
@@ -279,7 +283,8 @@ class DreamMat(BaseObject):
         batch = datamodule.collate(step=step)
         rng = jax.random.PRNGKey(step)
         out = (self._render_fn or self.make_render_fn())(
-            state["geo"], batch["gbuffer"], batch["env_id"], rng
+            state["geo"], batch["gbuffer"], batch["env_id"], rng,
+            batch.get("light_table"),
         )
         rows = [[
             {"img": np.asarray(out["comp_rgb"])},
@@ -299,7 +304,10 @@ class DreamMat(BaseObject):
         render = self._render_fn or self.make_render_fn()
         for i in range(n):
             batch = datamodule.eval_view(i)
-            out = render(state["geo"], batch["gbuffer"], batch["env_id"], jax.random.PRNGKey(i))
+            out = render(
+                state["geo"], batch["gbuffer"], batch["env_id"],
+                jax.random.PRNGKey(i), batch.get("light_table"),
+            )
             rgb = np.asarray(out["comp_rgb"])
             alpha = np.asarray(out["opacity"])[..., 0]
             d = os.path.join(trial_dir, "save", f"it{step}-test")

@@ -42,6 +42,7 @@ def rig():
     cd = camera_rays_and_matrices(cam, 0, 32, 32)
     gb = ren.build_gbuffer(cd["rays_o"], cd["rays_d"], cd["w2c"])
     _, tabs = pre.render_probes_for_view(ren, mat, gb, 1, cd["camera_position"])
+    # tabs is the per-VERTEX table [E, V, 1+K, 3]
     return geo, mat, ren, gb, jnp.asarray(tabs[0], dtype=jnp.float32)
 
 
@@ -57,7 +58,8 @@ def test_diffuse_term_matches_mc(rig):
     geo, mat, ren, gb, table = rig
     P = gb.fg_pos.shape[0]
     m, r, a = _mats(P, 0.0, 0.5)
-    pf = mat.shade_prefiltered(gb.fg_normal, gb.fg_viewdir, m, r, a, table)
+    pf = mat.shade_prefiltered(gb.fg_normal, gb.fg_viewdir, m, r, a, table,
+                               vis_data=(gb.fg_tri, gb.fg_bary))
     mc = mat.shade_raytracing(
         gb.fg_pos, gb.fg_normal, gb.fg_viewdir, jnp.int32(0), m, r, a,
         jax.random.PRNGKey(1), is_train=False, mask=gb.fg_valid,
@@ -76,7 +78,8 @@ def test_full_color_close_to_mc(rig, metallic, rough_sq):
     geo, mat, ren, gb, table = rig
     P = gb.fg_pos.shape[0]
     m, r, a = _mats(P, metallic, rough_sq)
-    pf = mat.shade_prefiltered(gb.fg_normal, gb.fg_viewdir, m, r, a, table)
+    pf = mat.shade_prefiltered(gb.fg_normal, gb.fg_viewdir, m, r, a, table,
+                               vis_data=(gb.fg_tri, gb.fg_bary))
     mc = mat.shade_raytracing(
         gb.fg_pos, gb.fg_normal, gb.fg_viewdir, jnp.int32(0), m, r, a,
         jax.random.PRNGKey(1), is_train=False, mask=gb.fg_valid,

@@ -159,9 +159,17 @@ def test_conv_probes_close_to_mc_probes():
     # weighted sum) so agreement is approximate
     err = np.abs(pc[:, mask] - pm[:, mask]).mean()
     assert err < 0.06, err
-    # tables: slot 0 (diffuse) identical path, slots 1..K same integral
-    tm = np.asarray(tabs_mc, dtype=np.float32)
-    tc = np.asarray(tabs_conv, dtype=np.float32)
+    # tables: conv returns per-VERTEX rows [E,V,1+K,3]; the per-pixel rows
+    # the MC pass returns are their barycentric mixes
+    tm = np.asarray(tabs_mc, dtype=np.float32)   # [E,P,1+K,3]
+    tv = np.asarray(tabs_conv, dtype=np.float32)  # [E,V,1+K,3]
+    tri = np.asarray(gb.fg_tri)
+    bary = np.asarray(gb.fg_bary)
+    tc = (
+        bary[None, :, 0, None, None] * tv[:, tri[:, 0]]
+        + bary[None, :, 1, None, None] * tv[:, tri[:, 1]]
+        + bary[None, :, 2, None, None] * tv[:, tri[:, 2]]
+    )
     assert tc.shape == tm.shape
     # the MC pass bakes diffuse with the 128-sample fibonacci gather (has
     # per-bin sampling noise on peaked envs); the conv pass is the exact
