@@ -22,6 +22,7 @@ import numpy as np
 import dreammat_tpu
 from dreammat_tpu.data import cameras as cam_lib
 from dreammat_tpu.data import prerender as prerender_lib
+from dreammat_tpu.utils import ops as uops
 from dreammat_tpu.utils.base import BaseObject
 
 
@@ -48,6 +49,9 @@ class RandomCameraDataModule(BaseObject):
         n_val_views: int = 1
         n_test_views: int = 120
         use_fix_views: bool = True
+        # random-camera mode (use_fix_views=false): progressive widening of
+        # the sampled ranges (reference uncond.py:125-133)
+        progressive_until: int = 0
         blender_generate: bool = False  # parity knob; True = ingest PNG cache
         reference_cache_dir: Optional[str] = None
         fix_view_num: int = 128
@@ -81,9 +85,15 @@ class RandomCameraDataModule(BaseObject):
 
     def setup(self) -> None:
         """Run (or load) the prerender. Reference: dataset __init__
-        (uncond.py:692-705)."""
+        (uncond.py:692-705). In random-camera mode (use_fix_views=false,
+        reference RandomCameraIterableDataset uncond.py:66-338) only the
+        mesh-wide bakes run here — per-step cameras render their G-buffer,
+        22-channel condition stack, and light table on demand."""
         cfg = self.cfg
         assert self.renderer is not None and self.material is not None
+        if not cfg.use_fix_views:
+            self._setup_random()
+            return
         self.data = prerender_lib.prerender(
             self.renderer, self.material, self.cameras,
             cfg.height, cfg.width, cfg.fix_env_num,
@@ -102,11 +112,136 @@ class RandomCameraDataModule(BaseObject):
             dreammat_tpu.info("ingested reference Blender cache from %s", cfg.reference_cache_dir)
 
     # ------------------------------------------------------------------
+    def _setup_random(self) -> None:
+        """Mesh-wide bakes + a fixed pixel budget for the per-step path."""
+        cfg = self.cfg
+        self._bakes = prerender_lib.mesh_bakes(
+            self.renderer, self.material, cfg.fix_env_num
+        )
+        budget = cfg.pixel_budget
+        if not budget:
+            # worst case foreground = closest + narrowest-fov camera (object
+            # largest in frame); perturbation can pull the camera closer
+            d = cfg.camera_distance_range[0] - cfg.camera_perturb
+            probe = cam_lib.CameraSet(
+                np.asarray([0.0], np.float32), np.asarray([0.0], np.float32),
+                np.asarray([d], np.float32),
+                np.asarray([cfg.fovy_range[0]], np.float32),
+            )
+            cd = cam_lib.camera_rays_and_matrices(probe, 0, cfg.height, cfg.width)
+            gb = self.renderer.build_gbuffer(cd["rays_o"], cd["rays_d"], cd["w2c"])
+            count = int(np.asarray(jnp.sum(gb.fg_valid)))
+            budget = int(np.ceil(max(count, 1) * 1.1 / 1024)) * 1024
+        self._random_budget = budget
+        self.data = None
+        lvis, e_d_vertex, _, oct_res = self._bakes
+        # minimal table source so eval views get the fast prefiltered path
+        self._eval_data = prerender_lib.PrerenderData(
+            gbuffers=[], lightmaps=None, depths=None, normals=None,
+            table_diff=e_d_vertex, lvis=lvis, oct_res=oct_res,
+        )
+        dreammat_tpu.info(
+            "random-camera mode: pixel budget %d, mesh bakes ready", budget
+        )
+
+    def _collate_random(self, step: int) -> Dict[str, Any]:
+        """Per-step sampled camera (reference RandomCameraIterableDataset
+        .collate, uncond.py:138-338): 50/50 uniform-in-degrees / uniform-on-
+        sphere elevation, (batch-)uniform azimuth, uniform distance+fovy,
+        camera/center/up perturbs, progressive range widening — then the
+        G-buffer, 22-ch condition stack, and per-vertex light table are
+        rendered ON DEVICE for that camera (the reference cannot produce
+        light probes for random cameras at all; here the shadowed-radiance
+        cache makes them one convolution bake)."""
+        cfg = self.cfg
+        rng = self.rng
+        # progressive view (uncond.py:125-133)
+        if cfg.progressive_until > 0:
+            r = min(1.0, step / (cfg.progressive_until + 1))
+        else:
+            r = 1.0
+        elev_range = (
+            (1 - r) * cfg.eval_elevation_deg + r * cfg.elevation_range[0],
+            (1 - r) * cfg.eval_elevation_deg + r * cfg.elevation_range[1],
+        )
+        azim_range = (r * cfg.azimuth_range[0], r * cfg.azimuth_range[1])
+
+        if rng.rand() < 0.5:
+            elevation = rng.rand() * (elev_range[1] - elev_range[0]) + elev_range[0]
+        else:
+            pct = [(elev_range[0] + 90.0) / 180.0, (elev_range[1] + 90.0) / 180.0]
+            elevation = float(np.rad2deg(np.arcsin(
+                2 * (rng.rand() * (pct[1] - pct[0]) + pct[0]) - 1.0
+            )))
+        azimuth = rng.rand() * (azim_range[1] - azim_range[0]) + azim_range[0]
+        dist = (
+            rng.rand() * (cfg.camera_distance_range[1] - cfg.camera_distance_range[0])
+            + cfg.camera_distance_range[0]
+        )
+        fovy_deg = rng.rand() * (cfg.fovy_range[1] - cfg.fovy_range[0]) + cfg.fovy_range[0]
+        env_id = int(rng.randint(0, cfg.fix_env_num))
+
+        pos = np.asarray(uops.camera_position_from_spherical(
+            float(elevation), float(azimuth), float(dist)
+        ))
+        pos = pos + (rng.rand(3) * 2.0 - 1.0) * cfg.camera_perturb
+        center = rng.randn(3) * cfg.center_perturb
+        up = np.asarray([0.0, 0.0, 1.0]) + rng.randn(3) * cfg.up_perturb
+
+        c2w = uops.get_c2w(
+            jnp.asarray(pos, jnp.float32)[None],
+            jnp.asarray(center, jnp.float32)[None],
+            jnp.asarray(up, jnp.float32)[None],
+        )[0]
+        w2c = uops.get_w2c(c2w)
+        focal = 0.5 * cfg.height / np.tan(0.5 * np.deg2rad(fovy_deg))
+        dirs = uops.get_ray_directions(cfg.height, cfg.width, focal=float(focal))
+        rays_o, rays_d = uops.get_rays(dirs, c2w, keepdim=True)
+
+        gb = self.renderer.build_gbuffer_from_rays(
+            rays_o, rays_d, w2c, pixel_budget=self._random_budget
+        )
+        lvis, e_d_vertex, fg_lut, oct_res = self._bakes
+        probes, tab, depth_c, normal_c = prerender_lib._probe_views_conv(
+            self.renderer.mesh.v_pos, self.renderer.mesh.v_nrm, lvis,
+            e_d_vertex, fg_lut,
+            jnp.asarray(pos, jnp.float32)[None],
+            gb.fg_normal[None], gb.fg_viewdir[None], gb.fg_tri[None],
+            gb.fg_bary[None], gb.fg_valid[None], gb.fg_idx[None],
+            gb.mask[None], gb.cn_depth[None], gb.cn_normal[None],
+            oct_res=oct_res, n_envs=cfg.fix_env_num,
+            cond_h=cfg.cond_height, cond_w=cfg.cond_width,
+        )
+        cond = jnp.concatenate(
+            [
+                depth_c[0].astype(jnp.float32),
+                normal_c[0].astype(jnp.float32),
+                probes[0, env_id].astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        light_table = tab[0, env_id].astype(jnp.float32)
+        return {
+            "view_id": -1,
+            "env_id": jnp.int32(env_id),
+            "gbuffer": gb,
+            "light_table": light_table,
+            "condition_map": cond[None],
+            "elevation": jnp.asarray([elevation], jnp.float32),
+            "azimuth": jnp.asarray([azimuth], jnp.float32),
+            "camera_distances": jnp.asarray([dist], jnp.float32),
+            "height": cfg.height,
+            "width": cfg.width,
+        }
+
+    # ------------------------------------------------------------------
     def collate(self, step: int = 0) -> Dict[str, Any]:
         """One training batch: random fixed view + random env
         (uncond.py:723-821). batch_size=1 on the DreamMat path."""
-        assert self.data is not None, "call setup() first"
         cfg = self.cfg
+        if not cfg.use_fix_views:
+            return self._collate_random(step)
+        assert self.data is not None, "call setup() first"
         view_id = int(self.rng.randint(0, cfg.fix_view_num))
         env_id = int(self.rng.randint(0, cfg.fix_env_num))
         # condition stack + light table assembled by DEVICE slicing — the
@@ -154,11 +289,13 @@ class RandomCameraDataModule(BaseObject):
         )
         # one shared pixel budget across eval views => one jitted render shape
         budget = None
+        scale = (cfg.eval_height * cfg.eval_width) / (cfg.height * cfg.width)
         if self.data is not None and self.data.gbuffers:
-            scale = (cfg.eval_height * cfg.eval_width) / (cfg.height * cfg.width)
             budget = int(
                 np.ceil(self.data.gbuffers[0].fg_idx.shape[0] * max(scale, 1.0) / 1024)
             ) * 1024
+        elif getattr(self, "_random_budget", None):
+            budget = int(np.ceil(self._random_budget * max(scale, 1.0) / 1024)) * 1024
         gb = self.renderer.build_gbuffer(
             cd["rays_o"], cd["rays_d"], cd["w2c"], pixel_budget=budget
         )
@@ -166,13 +303,14 @@ class RandomCameraDataModule(BaseObject):
         # training when tables are available: one per-view specular conv
         # bake (ms) instead of the full streamed-MC estimator per view
         light_table = None
+        table_src = self.data if self.data is not None else getattr(self, "_eval_data", None)
         if (
-            self.data is not None
-            and self.data.lvis is not None
+            table_src is not None
+            and table_src.lvis is not None
             and getattr(self.material.cfg, "use_prefiltered", False)
         ):
             light_table = prerender_lib.vertex_table_for_camera(
-                self.renderer, self.material, self.data,
+                self.renderer, self.material, table_src,
                 cd["camera_position"], env_id,
             )
         return {

@@ -388,6 +388,30 @@ class PrerenderData:
     cond_width: int = 256
 
 
+def mesh_bakes(renderer, material, n_envs: int):
+    """Mesh-wide (view-independent) bakes shared by every view: per-vertex
+    octahedral visibility, the fused env x visibility shadowed-radiance
+    cache, the view-independent diffuse irradiance, and the Karis FG LUT.
+    Returns (lvis, e_d_vertex, fg_lut, oct_res). A few seconds per mesh;
+    everything per-view derives from these by convolution bakes."""
+    from dreammat_tpu.ops import envmap as envmap_lib_
+    from dreammat_tpu.ops import visibility as vis_lib
+
+    baked = material.baked_visibility
+    if baked is None:
+        baked = vis_lib.bake_vertex_visibility(
+            renderer.bvh, renderer.mesh.v_pos, renderer.mesh.v_nrm
+        )
+    lvis = vis_lib.bake_shadowed_radiance(baked, material.envs[:n_envs])
+    e_d_vertex = vis_lib.bake_vertex_irradiance_conv(
+        lvis, renderer.mesh.v_nrm, baked.oct_res
+    )
+    fg_lut = material.fg_lut
+    if fg_lut is None:
+        fg_lut = envmap_lib_.compute_fg_lut()
+    return lvis, e_d_vertex, fg_lut, baked.oct_res
+
+
 def mesh_signature(mesh, cam: CameraSet, height: int, width: int, n_envs: int) -> str:
     h = hashlib.md5()
     h.update(np.asarray(mesh.v_pos).tobytes()[:65536])
@@ -436,26 +460,10 @@ def prerender(
         jnp.asarray(cam.camera_distances),
     ))
 
-    # mesh-wide bakes shared by all views: per-vertex visibility (if the
-    # renderer hasn't already), fused env x visibility radiance cache, and
-    # view-independent diffuse irradiance. Needed even on cache hits (lvis
+    # mesh-wide bakes shared by all views. Needed even on cache hits (lvis
     # serves eval-view tables), so done before the cache check.
-    from dreammat_tpu.ops import envmap as envmap_lib_
-    from dreammat_tpu.ops import visibility as vis_lib
-
     _t0 = _time.time()
-    baked = material.baked_visibility
-    if baked is None:
-        baked = vis_lib.bake_vertex_visibility(
-            renderer.bvh, renderer.mesh.v_pos, renderer.mesh.v_nrm
-        )
-    lvis = vis_lib.bake_shadowed_radiance(baked, material.envs[:n_envs])
-    e_d_vertex = vis_lib.bake_vertex_irradiance_conv(
-        lvis, renderer.mesh.v_nrm, baked.oct_res
-    )
-    fg_lut = material.fg_lut
-    if fg_lut is None:
-        fg_lut = envmap_lib_.compute_fg_lut()
+    lvis, e_d_vertex, fg_lut, oct_res = mesh_bakes(renderer, material, n_envs)
     jax.block_until_ready(e_d_vertex)
     dreammat_tpu.info("prerender: mesh-wide bakes in %.1fs", _time.time() - _t0)
 
@@ -463,15 +471,22 @@ def prerender(
         z = np.load(cache_path)
         if "table_spec" in z:
             dreammat_tpu.info("loaded prerender cache %s", cache_path)
+
+            def dec(a, scale):
+                # quantized caches (uint8 sRGB probes/normals, uint16 depth)
+                if a.dtype in (np.uint8, np.uint16):
+                    return jnp.asarray((a / np.float32(scale)).astype(np.float16))
+                return jnp.asarray(a)
+
             return PrerenderData(
                 gbuffers=gbuffers,
-                lightmaps=jnp.asarray(z["lightmaps"]),
-                depths=jnp.asarray(z["depths"]),
-                normals=jnp.asarray(z["normals"]),
+                lightmaps=dec(z["lightmaps"], 255.0),
+                depths=dec(z["depths"], 65535.0),
+                normals=dec(z["normals"], 255.0),
                 table_spec=jnp.asarray(z["table_spec"]),
                 table_diff=e_d_vertex,
                 lvis=lvis,
-                oct_res=baked.oct_res,
+                oct_res=oct_res,
                 cond_height=cond_height,
                 cond_width=cond_width,
             )
@@ -501,7 +516,7 @@ def prerender(
             gbp.fg_normal[sl], gbp.fg_viewdir[sl], gbp.fg_tri[sl],
             gbp.fg_bary[sl], gbp.fg_valid[sl], gbp.fg_idx[sl],
             gbp.mask[sl], gbp.cn_depth[sl], gbp.cn_normal[sl],
-            oct_res=baked.oct_res, n_envs=n_envs,
+            oct_res=oct_res, n_envs=n_envs,
             cond_h=cond_height, cond_w=cond_width,
         ))
     lightmaps, tables, depths, normals = (
@@ -515,21 +530,48 @@ def prerender(
     )
 
     if cache_path:
-        _t0 = _time.time()
-        np.savez_compressed(
-            cache_path,
-            lightmaps=np.asarray(lightmaps),
-            depths=np.asarray(depths),
-            normals=np.asarray(normals),
-            table_spec=np.asarray(table_spec),
-        )
-        dreammat_tpu.info(
-            "saved prerender cache %s (%.1fs)", cache_path, _time.time() - _t0
-        )
+        # cache write is OFF the critical path: quantize on device (probe
+        # images are sRGB -> uint8 loses nothing vs the reference's PNGs;
+        # depth -> uint16 like its 16-bit PNGs) so the device->host pull is
+        # 4x smaller, then compress+write in a background thread while
+        # training starts. Atomic rename so a partial file is never loaded.
+        # Multi-host: rank 0 only (each rank holds its own device copy).
+        from dreammat_tpu.parallel import distributed as dist
+
+        if dist.is_rank_zero():
+            lm_u8 = jnp.clip(
+                lightmaps.astype(jnp.float32) * 255.0 + 0.5, 0, 255
+            ).astype(jnp.uint8)
+            d_u16 = jnp.clip(
+                depths.astype(jnp.float32) * 65535.0 + 0.5, 0, 65535
+            ).astype(jnp.uint16)
+            n_u8 = jnp.clip(
+                normals.astype(jnp.float32) * 255.0 + 0.5, 0, 255
+            ).astype(jnp.uint8)
+
+            def _save(lm=lm_u8, d=d_u16, n=n_u8, ts=table_spec):
+                _t0 = _time.time()
+                tmp = cache_path + ".tmp.npz"
+                np.savez_compressed(
+                    tmp,
+                    lightmaps=np.asarray(lm),
+                    depths=np.asarray(d),
+                    normals=np.asarray(n),
+                    table_spec=np.asarray(ts),
+                )
+                os.replace(tmp, cache_path)
+                dreammat_tpu.info(
+                    "saved prerender cache %s (%.1fs, background)",
+                    cache_path, _time.time() - _t0,
+                )
+
+            import threading
+
+            threading.Thread(target=_save, name="prerender-cache-save").start()
     return PrerenderData(
         gbuffers=gbuffers, lightmaps=lightmaps, depths=depths, normals=normals,
         table_spec=table_spec, table_diff=e_d_vertex, lvis=lvis,
-        oct_res=baked.oct_res, cond_height=cond_height, cond_width=cond_width,
+        oct_res=oct_res, cond_height=cond_height, cond_width=cond_width,
     )
 
 

@@ -93,15 +93,15 @@ def _to_flax_array(leaf_name: str, flax_shape, value: np.ndarray) -> np.ndarray:
 
 
 # special-case fallbacks: older diffusers VAE attention naming
-_VAE_ATTN_ALIASES = {
-    "to_q": "query", "to_k": "key", "to_v": "value", "to_out.0": "proj_attn",
-}
+_VAE_ALIASES = (
+    ("to_q", "query"), ("to_k", "key"), ("to_v", "value"), ("to_out.0", "proj_attn"),
+)
 
 
 def _lookup(sd: Dict[str, np.ndarray], key: str) -> Optional[np.ndarray]:
     if key in sd:
         return sd[key]
-    for new, old in _VAE_ATTN_ALIASES.items():
+    for new, old in _VAE_ALIASES:
         if new in key:
             k2 = key.replace(new, old)
             if k2 in sd:
@@ -112,6 +112,11 @@ def _lookup(sd: Dict[str, np.ndarray], key: str) -> Optional[np.ndarray]:
     return None
 
 
+# torch-side tensors that are buffers/bookkeeping, not parameters — real
+# exports may contain them and the converter must skip them silently
+_KNOWN_BUFFERS = ("position_ids",)
+
+
 def torch_to_flax_params(
     state_dict: Dict[str, Any],
     flax_params: Dict[str, Any],
@@ -119,7 +124,12 @@ def torch_to_flax_params(
     strict: bool = True,
 ) -> Dict[str, Any]:
     """Fill a flax param tree (template, e.g. from ``model.init``) with
-    weights from a torch state dict. model_type in {unet, controlnet, vae, clip}."""
+    weights from a torch state dict. model_type in {unet, controlnet, vae, clip}.
+
+    strict=True fails BOTH ways: on flax leaves with no torch key (missing)
+    AND on torch keys no flax leaf consumed (unused, excluding known
+    non-parameter buffers) — so a real checkpoint either loads 100% or
+    errors loudly."""
     sd = {
         k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
         for k, v in state_dict.items()
@@ -146,10 +156,49 @@ def torch_to_flax_params(
         arr = _to_flax_array(keys[-1], np.shape(leaf), val)
         if tuple(arr.shape) != tuple(np.shape(leaf)):
             raise ValueError(f"shape mismatch for {tkey}: {arr.shape} vs {np.shape(leaf)}")
-        new_leaves.append(jnp.asarray(arr, dtype=jnp.asarray(leaf).dtype))
+        dtype = leaf.dtype if hasattr(leaf, "dtype") else jnp.asarray(leaf).dtype
+        new_leaves.append(jnp.asarray(arr, dtype=dtype))
     if missing and strict:
         raise KeyError(f"missing {len(missing)} torch keys, e.g. {missing[:8]}")
+    if strict:
+        unused = [
+            k for k in sd
+            if k not in used and not any(b in k for b in _KNOWN_BUFFERS)
+        ]
+        # _lookup may consume a tensor under an alias name; count those too
+        if unused:
+            aliased = set()
+            for k in used:
+                for new, old in _VAE_ALIASES:
+                    if new in k:
+                        aliased.add(k.replace(new, old))
+                if k.endswith("position_embedding.weight"):
+                    aliased.add(k[: -len(".weight")])
+            unused = [k for k in unused if k not in aliased]
+        if unused:
+            raise KeyError(
+                f"{len(unused)} torch keys unconsumed, e.g. {sorted(unused)[:8]}"
+            )
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def flax_key_shapes(flax_params: Dict[str, Any], model_type: str = "unet") -> Dict[str, Tuple[int, ...]]:
+    """Map a flax param tree (arrays OR jax.eval_shape structs) to the torch
+    key->shape dict its checkpoint counterpart must contain. Used by the
+    manifest coverage test at full SD2.1 scale without materializing 5 GB."""
+    out: Dict[str, Tuple[int, ...]] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(flax_params)[0]:
+        keys = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+        if keys and keys[0] == "params":
+            keys = keys[1:]
+        shape = tuple(np.shape(leaf) if not hasattr(leaf, "shape") else leaf.shape)
+        if keys[-1] == "kernel":
+            if len(shape) == 4:  # HWIO -> OIHW
+                shape = (shape[3], shape[2], shape[0], shape[1])
+            elif len(shape) == 2:  # IO -> OI
+                shape = (shape[1], shape[0])
+        out[_flax_path_to_torch_key(keys, model_type)] = shape
+    return out
 
 
 def flax_to_torch_state_dict(flax_params: Dict[str, Any], model_type: str = "unet") -> Dict[str, np.ndarray]:

@@ -232,8 +232,15 @@ class StableDiffusionLightGuidance(BaseObject):
         k_enc, k_t, k_noise = jax.random.split(rng, 3)
 
         if rgb_as_latents:
+            # input must already be a 4-channel latent image (reference
+            # dreammat_guidance.py:543-549 interpolates it to latent res);
+            # a 3-channel RGB with rgb_as_latents=True is a caller bug
+            if rgb.shape[-1] != 4:
+                raise ValueError(
+                    f"rgb_as_latents=True expects 4 latent channels, got {rgb.shape}"
+                )
             lh = rgb.shape[1] // 8 if cfg.model_size != "tiny" else rgb.shape[1] // 2
-            latents = jax.image.resize(rgb, (B, lh, lh, 4), method="linear") if rgb.shape[-1] == 4 else rgb
+            latents = jax.image.resize(rgb, (B, lh, lh, 4), method="linear")
         else:
             latents = self.encode_images(params, rgb, k_enc)
 

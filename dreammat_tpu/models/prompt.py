@@ -224,8 +224,21 @@ class StableDiffusionPromptProcessor(BaseObject):
 
     def encode_prompts(self, prompts: List[str]) -> np.ndarray:
         """Compute (or load cached) [len(prompts), N, D] embeddings
-        (cache semantics of base.py:364-439)."""
+        (cache semantics of base.py:364-439). Multi-host: rank 0 fills the
+        shared cache first and everyone barriers — the reference's rank-0
+        + barrier pattern (prompt_processors/base.py:364-416) — so N hosts
+        sharing a filesystem don't race on the same .npy files."""
+        from dreammat_tpu.parallel import distributed as dist
+
         os.makedirs(self.cfg.cache_dir, exist_ok=True)
+        if self.cfg.use_cache and dist.process_count() > 1:
+            for p in prompts:
+                path = os.path.join(self.cfg.cache_dir, self._cache_key(p) + ".npy")
+                dist.rank_zero_fill(
+                    path,
+                    lambda p=p, path=path: np.save(path, self._encode_uncached([p])[0]),
+                    name="text_embeddings",
+                )
         out = [None] * len(prompts)
         to_compute = []
         for i, p in enumerate(prompts):
@@ -235,15 +248,18 @@ class StableDiffusionPromptProcessor(BaseObject):
             else:
                 to_compute.append(i)
         if to_compute:
-            model, params, tok = self._get_encoder()
-            ids = jnp.asarray(tok.batch([prompts[i] for i in to_compute]))
-            emb = np.asarray(jax.jit(model.apply)(params, ids))
+            emb = self._encode_uncached([prompts[i] for i in to_compute])
             for j, i in enumerate(to_compute):
                 out[i] = emb[j]
                 if self.cfg.use_cache:
                     path = os.path.join(self.cfg.cache_dir, self._cache_key(prompts[i]) + ".npy")
                     np.save(path, emb[j])
         return np.stack(out)
+
+    def _encode_uncached(self, prompts: List[str]) -> np.ndarray:
+        model, params, tok = self._get_encoder()
+        ids = jnp.asarray(tok.batch(prompts))
+        return np.asarray(jax.jit(model.apply)(params, ids))
 
     def __call__(self) -> PromptEmbeddings:
         if self._emb is None:

@@ -85,95 +85,117 @@ def _cast_views(bvh, elev, azim, dist, fovy_deg, *, H: int, W: int):
     return {k: out[k].reshape(c, H * W) for k in ("face", "t", "u", "v")}
 
 
+def _assemble_one(mesh_data, P: int, H: int, W: int, has_uv: bool,
+                  face, t, u, v, ro, rd, w2c_):
+    """One view's G-buffer assembly from cast results, fully on device. The
+    reference's boolean ``selector`` fancy-indexing
+    (raytracing_renderer.py:126-207) and the round-1 host-side np.nonzero
+    both become a device sort-compaction to a static pixel budget P;
+    foreground overflow is strided (the round-1 host path used np.linspace
+    subsampling — same policy)."""
+    t_pos_idx, v_nrm, v_tex, t_tex_idx = mesh_data
+    HW = H * W
+    hit = face >= 0
+    f_safe = jnp.maximum(face, 0)
+    u_ = u[:, None]
+    v_ = v[:, None]
+    tri_all = t_pos_idx[f_safe]  # [HW,3]
+    n_all = uops.safe_normalize(
+        (1 - u_ - v_) * v_nrm[tri_all[:, 0]]
+        + u_ * v_nrm[tri_all[:, 1]]
+        + v_ * v_nrm[tri_all[:, 2]]
+    )
+    # controlnet-style view-space normal (raytracing_renderer.py:326-331)
+    n_view = uops.safe_normalize(
+        jnp.einsum("nk,ik->ni", n_all, w2c_[:3, :3], precision="highest")
+    )
+    cn = 0.5 * (n_view + 1.0)
+    cn = cn.at[:, 0].set(1.0 - cn[:, 0])  # bae convention x-flip
+    cn_normal = jnp.where(hit[:, None], cn, jnp.asarray([0.5, 0.5, 1.0]))
+    # inverse-normalized depth (raytracing_renderer.py:333-343)
+    min_val = 0.3
+    inv = 1.0 / (t + 1e-6)
+    dmax = jnp.max(jnp.where(hit, inv, -jnp.inf))
+    dmin = jnp.min(jnp.where(hit, inv, jnp.inf))
+    dn = (1 - min_val) * (inv - dmin) / (dmax - dmin + 1e-6) + min_val
+    cn_depth = jnp.where(hit, dn, 0.0)
+
+    # fixed-budget foreground compaction: ascending sort of hit pixel
+    # indices (misses sort to HW); strided pick when count > P
+    idxs = jnp.where(hit, jnp.arange(HW, dtype=jnp.int32), HW)
+    srt = jnp.sort(idxs)
+    count = jnp.sum(hit)
+    stride = jnp.maximum(count, P).astype(jnp.float32) / P
+    sel = jnp.floor(jnp.arange(P, dtype=jnp.float32) * stride).astype(jnp.int32)
+    srt_p = srt[jnp.clip(sel, 0, HW - 1)]
+    valid = srt_p < HW
+    fg_idx = jnp.where(valid, srt_p, 0).astype(jnp.int32)
+
+    tg = t[fg_idx]
+    ug = u[fg_idx][:, None]
+    vg = v[fg_idx][:, None]
+    fg_face = f_safe[fg_idx]
+    tri = t_pos_idx[fg_face]
+    nrm = uops.safe_normalize(
+        (1 - ug - vg) * v_nrm[tri[:, 0]] + ug * v_nrm[tri[:, 1]] + vg * v_nrm[tri[:, 2]]
+    )
+    up = jnp.asarray([0.0, 0.0, 1.0])
+    nrm = jnp.where(valid[:, None], nrm, up)
+    rof = ro.reshape(-1, 3)[fg_idx]
+    rdf = rd.reshape(-1, 3)[fg_idx]
+    fg_pos = jnp.where(valid[:, None], rof + tg[:, None] * rdf, 0.0)
+    fg_viewdir = jnp.where(valid[:, None], -uops.safe_normalize(rdf), up)
+    bary = jnp.concatenate([1.0 - ug - vg, ug, vg], axis=-1)
+    bary = jnp.where(valid[:, None], bary, jnp.asarray([1.0, 0.0, 0.0]))
+    if has_uv:
+        tt = t_tex_idx[fg_face]
+        fg_uv = (1 - ug - vg) * v_tex[tt[:, 0]] + ug * v_tex[tt[:, 1]] + vg * v_tex[tt[:, 2]]
+        fg_uv = jnp.where(valid[:, None], fg_uv, 0.0)
+    else:
+        fg_uv = jnp.zeros((P, 2), jnp.float32)
+    return GBufferView(
+        mask=hit.reshape(H, W),
+        cn_normal=cn_normal.reshape(H, W, 3).astype(jnp.float16),
+        cn_depth=cn_depth.reshape(H, W, 1).astype(jnp.float16),
+        fg_idx=fg_idx,
+        fg_valid=valid,
+        fg_pos=fg_pos,
+        fg_normal=nrm,
+        fg_viewdir=fg_viewdir,
+        fg_tri=tri,
+        fg_bary=bary,
+        fg_uv=fg_uv,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("P", "H", "W", "has_uv"))
 def _assemble_views(
     mesh_data, face, t, u, v, elev, azim, dist, fovy_deg,
     *, P: int, H: int, W: int, has_uv: bool,
 ):
-    """Per-view G-buffer assembly, fully on device. The reference's boolean
-    ``selector`` fancy-indexing (raytracing_renderer.py:126-207) and the
-    round-1 host-side np.nonzero both become a device sort-compaction to a
-    static pixel budget P; foreground overflow is strided (the round-1 host
-    path used np.linspace subsampling — same policy)."""
-    t_pos_idx, v_nrm, v_tex, t_tex_idx = mesh_data
+    """Batched (vmapped over views) G-buffer assembly for spherical
+    look-at-origin cameras (the fixed-camera prerender path)."""
     _, c2w, rays_o, rays_d = _views_rays(elev, azim, dist, fovy_deg, H, W)
     w2c = uops.get_w2c(c2w)
-    HW = H * W
-
-    def one(face, t, u, v, ro, rd, w2c_):
-        hit = face >= 0
-        f_safe = jnp.maximum(face, 0)
-        u_ = u[:, None]
-        v_ = v[:, None]
-        tri_all = t_pos_idx[f_safe]  # [HW,3]
-        n_all = uops.safe_normalize(
-            (1 - u_ - v_) * v_nrm[tri_all[:, 0]]
-            + u_ * v_nrm[tri_all[:, 1]]
-            + v_ * v_nrm[tri_all[:, 2]]
-        )
-        # controlnet-style view-space normal (raytracing_renderer.py:326-331)
-        n_view = uops.safe_normalize(
-            jnp.einsum("nk,ik->ni", n_all, w2c_[:3, :3], precision="highest")
-        )
-        cn = 0.5 * (n_view + 1.0)
-        cn = cn.at[:, 0].set(1.0 - cn[:, 0])  # bae convention x-flip
-        cn_normal = jnp.where(hit[:, None], cn, jnp.asarray([0.5, 0.5, 1.0]))
-        # inverse-normalized depth (raytracing_renderer.py:333-343)
-        min_val = 0.3
-        inv = 1.0 / (t + 1e-6)
-        dmax = jnp.max(jnp.where(hit, inv, -jnp.inf))
-        dmin = jnp.min(jnp.where(hit, inv, jnp.inf))
-        dn = (1 - min_val) * (inv - dmin) / (dmax - dmin + 1e-6) + min_val
-        cn_depth = jnp.where(hit, dn, 0.0)
-
-        # fixed-budget foreground compaction: ascending sort of hit pixel
-        # indices (misses sort to HW); strided pick when count > P
-        idxs = jnp.where(hit, jnp.arange(HW, dtype=jnp.int32), HW)
-        srt = jnp.sort(idxs)
-        count = jnp.sum(hit)
-        stride = jnp.maximum(count, P).astype(jnp.float32) / P
-        sel = jnp.floor(jnp.arange(P, dtype=jnp.float32) * stride).astype(jnp.int32)
-        srt_p = srt[jnp.clip(sel, 0, HW - 1)]
-        valid = srt_p < HW
-        fg_idx = jnp.where(valid, srt_p, 0).astype(jnp.int32)
-
-        tg = t[fg_idx]
-        ug = u[fg_idx][:, None]
-        vg = v[fg_idx][:, None]
-        fg_face = f_safe[fg_idx]
-        tri = t_pos_idx[fg_face]
-        nrm = uops.safe_normalize(
-            (1 - ug - vg) * v_nrm[tri[:, 0]] + ug * v_nrm[tri[:, 1]] + vg * v_nrm[tri[:, 2]]
-        )
-        up = jnp.asarray([0.0, 0.0, 1.0])
-        nrm = jnp.where(valid[:, None], nrm, up)
-        rof = ro.reshape(-1, 3)[fg_idx]
-        rdf = rd.reshape(-1, 3)[fg_idx]
-        fg_pos = jnp.where(valid[:, None], rof + tg[:, None] * rdf, 0.0)
-        fg_viewdir = jnp.where(valid[:, None], -uops.safe_normalize(rdf), up)
-        bary = jnp.concatenate([1.0 - ug - vg, ug, vg], axis=-1)
-        bary = jnp.where(valid[:, None], bary, jnp.asarray([1.0, 0.0, 0.0]))
-        if has_uv:
-            tt = t_tex_idx[fg_face]
-            fg_uv = (1 - ug - vg) * v_tex[tt[:, 0]] + ug * v_tex[tt[:, 1]] + vg * v_tex[tt[:, 2]]
-            fg_uv = jnp.where(valid[:, None], fg_uv, 0.0)
-        else:
-            fg_uv = jnp.zeros((P, 2), jnp.float32)
-        return GBufferView(
-            mask=hit.reshape(H, W),
-            cn_normal=cn_normal.reshape(H, W, 3).astype(jnp.float16),
-            cn_depth=cn_depth.reshape(H, W, 1).astype(jnp.float16),
-            fg_idx=fg_idx,
-            fg_valid=valid,
-            fg_pos=fg_pos,
-            fg_normal=nrm,
-            fg_viewdir=fg_viewdir,
-            fg_tri=tri,
-            fg_bary=bary,
-            fg_uv=fg_uv,
-        )
-
+    one = functools.partial(_assemble_one, mesh_data, P, H, W, has_uv)
     return jax.vmap(one)(face, t, u, v, rays_o, rays_d, w2c)
+
+
+@functools.partial(jax.jit, static_argnames=("P", "H", "W", "has_uv"))
+def _gbuffer_from_rays(
+    bvh, mesh_data, rays_o, rays_d, w2c,
+    *, P: int, H: int, W: int, has_uv: bool,
+):
+    """One camera with ARBITRARY rays (perturbed c2w, random-camera mode):
+    cast + assemble in a single fixed-shape dispatch, jitted once per
+    (P, H, W) — the per-step path for use_fix_views=false."""
+    ro = rays_o.reshape(-1, 3)
+    rd = rays_d.reshape(-1, 3)
+    out = bvh_lib.cast_rays_chunked(bvh, ro, rd)
+    return _assemble_one(
+        mesh_data, P, H, W, has_uv,
+        out["face"], out["t"], out["u"], out["v"], ro, rd, w2c,
+    )
 
 
 @dreammat_tpu.register("raytracing-renderer")
@@ -384,6 +406,27 @@ class RaytraceRenderer(BaseObject):
             jax.tree_util.tree_map(lambda x, i=i: x[i], stacked) for i in range(Nv)
         ]
         return gbuffers, stacked
+
+    # ------------------------------------------------------------------
+    def build_gbuffer_from_rays(
+        self,
+        rays_o: jnp.ndarray,   # [H,W,3]
+        rays_d: jnp.ndarray,   # [H,W,3]
+        w2c: jnp.ndarray,      # [4,4]
+        pixel_budget: int,
+    ) -> GBufferView:
+        """Fully-device G-buffer for one arbitrary camera (random-camera
+        mode): fixed pixel budget => one jitted shape across all steps."""
+        H, W = rays_o.shape[:2]
+        mesh_data = (
+            self.mesh.t_pos_idx, self.mesh.v_nrm,
+            self.mesh.v_tex, self.mesh.t_tex_idx,
+        )
+        has_uv = self.mesh.v_tex is not None and self.mesh.t_tex_idx is not None
+        return _gbuffer_from_rays(
+            self.bvh, mesh_data, rays_o, rays_d, w2c,
+            P=pixel_budget, H=H, W=W, has_uv=has_uv,
+        )
 
     # ------------------------------------------------------------------
     def shade_view(

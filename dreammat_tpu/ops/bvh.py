@@ -464,9 +464,91 @@ def cast_rays_dense(bvh: FlatBVH, rays_o, rays_d, t_max: float = MISS_DEPTH,
     }
 
 
+@jax.jit
+def cast_rays_plane(bvh: FlatBVH, rays_o, rays_d, t_max: float = MISS_DEPTH):
+    """First-hit cast via per-triangle PLANE/EDGE equations instead of
+    per-pair Möller–Trumbore.
+
+    The MT dense scan (cast_rays_dense) materializes ~20 [rays, tris, 3]
+    temporaries per chunk (cross products, tvec/qvec) — HBM-bandwidth bound
+    at ~2.8 s per 512² view on 23k tris. Here everything pairwise is six
+    [R,3]x[3,T] matmuls (MXU) plus ~12 fused elementwise ops on [R,T]:
+
+        t(r,T)  = -(o.N + d0) / (d.N)
+        u(r,T)  = (o.g_u + cu) + t * (d.g_u)      (affine in the hit point)
+        v(r,T)  = (o.g_v + cv) + t * (d.g_v)
+
+    with per-triangle constants N = e1 x e2, g_u = (e2 x N)/<e2 x N, e1>,
+    g_v = (N x e1)/<N x e1, e2> computed once per dispatch. Barycentric
+    u,v match the MT convention (p = v0 + u e1 + v e2)."""
+    o = rays_o.astype(jnp.float32)
+    d = rays_d.astype(jnp.float32)
+    R = o.shape[0]
+    T = bvh.tri_v0.shape[0]
+
+    v0, e1, e2 = bvh.tri_v0, bvh.tri_e1, bvh.tri_e2
+    n = jnp.cross(e1, e2)                                    # [T,3]
+    gu_raw = jnp.cross(e2, n)
+    gv_raw = jnp.cross(n, e1)
+    du = jnp.sum(gu_raw * e1, axis=-1, keepdims=True)
+    dv = jnp.sum(gv_raw * e2, axis=-1, keepdims=True)
+    degen = (jnp.abs(du) < 1e-18) | (jnp.abs(dv) < 1e-18)
+    gu = gu_raw / jnp.where(jnp.abs(du) < 1e-18, 1.0, du)
+    gv = gv_raw / jnp.where(jnp.abs(dv) < 1e-18, 1.0, dv)
+    d0 = -jnp.sum(n * v0, axis=-1)                           # [T]
+    cu = -jnp.sum(gu * v0, axis=-1)
+    cv = -jnp.sum(gv * v0, axis=-1)
+    tid = jnp.where(degen[:, 0], -1, bvh.tri_id)
+    # [3, T] right-hand sides for the six ray matmuls
+    mats = jnp.stack([n.T, gu.T, gv.T])                      # [3,3,T]
+
+    # ray-chunk size: keep [rc, T] f32 intermediates ~64 MB
+    rc = max(128, min(4096, ((1 << 24) // max(T, 1)) // 128 * 128))
+    pad = (-R) % rc
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+    oc = o.reshape(-1, rc, 3)
+    dc = d.reshape(-1, rc, 3)
+
+    def body(_, od):
+        o_, d_ = od
+        hi = jax.lax.Precision.HIGHEST
+        po = jnp.einsum("rk,mkt->mrt", o_, mats, precision=hi)  # [3,rc,T]
+        pd = jnp.einsum("rk,mkt->mrt", d_, mats, precision=hi)
+        B = pd[0]
+        safe = jnp.abs(B) > 1e-12
+        t = -(po[0] + d0[None, :]) / jnp.where(safe, B, 1.0)
+        u = (po[1] + cu[None, :]) + t * pd[1]
+        v = (po[2] + cv[None, :]) + t * pd[2]
+        valid = (
+            safe & (t > 1e-6) & (t < t_max)
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (tid >= 0)[None, :]
+        )
+        t_masked = jnp.where(valid, t, jnp.inf)
+        lane = jnp.argmin(t_masked, axis=-1)
+        tl = jnp.take_along_axis(t_masked, lane[:, None], axis=-1)[:, 0]
+        hit = jnp.isfinite(tl)
+        sel = lambda a: jnp.take_along_axis(a, lane[:, None], axis=-1)[:, 0]
+        return None, {
+            "t": jnp.where(hit, tl, MISS_DEPTH),
+            "face": jnp.where(hit, tid[lane], -1),
+            "u": jnp.where(hit, sel(u), 0.0),
+            "v": jnp.where(hit, sel(v), 0.0),
+            "hit": hit,
+        }
+
+    _, out = jax.lax.scan(body, None, (oc, dc))
+    return jax.tree_util.tree_map(lambda x: x.reshape(-1, *x.shape[2:])[:R], out)
+
+
 def cast_rays_chunked(bvh: FlatBVH, rays_o, rays_d, chunk: int = 1 << 16, t_max: float = MISS_DEPTH):
-    """Map casting over fixed-size ray chunks; dispatches to the dense
-    triangle-scan path for small/medium meshes (see DENSE_CAST_MAX_TRIS)."""
+    """Dispatch to the plane-equation scan for small/medium meshes (see
+    DENSE_CAST_MAX_TRIS; chunking is internal there) or the BVH while-loop
+    traversal in fixed-size ray chunks for big ones."""
+    if bvh.tri_packed.shape[0] <= DENSE_CAST_MAX_TRIS:
+        return cast_rays_plane(bvh, rays_o, rays_d, t_max=t_max)
     R = rays_o.shape[0]
     pad = (-R) % chunk
     if pad:
@@ -474,11 +556,7 @@ def cast_rays_chunked(bvh: FlatBVH, rays_o, rays_d, chunk: int = 1 << 16, t_max:
         rays_d = jnp.concatenate([rays_d, jnp.ones((pad, 3), rays_d.dtype)])
     ro = rays_o.reshape(-1, chunk, 3)
     rd = rays_d.reshape(-1, chunk, 3)
-    if bvh.tri_packed.shape[0] <= DENSE_CAST_MAX_TRIS:
-        caster = lambda ab: cast_rays_dense(bvh, ab[0], ab[1], t_max=t_max)
-    else:
-        caster = lambda ab: cast_rays(bvh, ab[0], ab[1], t_max=t_max)
-    out = jax.lax.map(caster, (ro, rd))
+    out = jax.lax.map(lambda ab: cast_rays(bvh, ab[0], ab[1], t_max=t_max), (ro, rd))
     out = jax.tree_util.tree_map(lambda x: x.reshape(-1, *x.shape[2:])[:R], out)
     return out
 

@@ -16,12 +16,20 @@ import numpy as np
 
 
 def save_checkpoint(path: str, tree: Any, step: int) -> str:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    with open(path + ".treedef", "wb") as f:
-        pickle.dump({"treedef": treedef, "step": step}, f)
-    np.savez(path, **arrays)
+    """Multi-host safe: rank 0 writes, all hosts barrier afterwards so a
+    subsequent load on any rank sees the complete file (reference analog:
+    Lightning rank-zero checkpointing + accelerate save_state,
+    diffusers_train_controlnet.py:926-949)."""
+    from dreammat_tpu.parallel import distributed as dist
+
+    if dist.is_rank_zero():
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        with open(path + ".treedef", "wb") as f:
+            pickle.dump({"treedef": treedef, "step": step}, f)
+        np.savez(path, **arrays)
+    dist.barrier(f"ckpt:{os.path.basename(path)}")
     return path
 
 

@@ -42,7 +42,14 @@ def main(argv=None) -> None:
     import dreammat_tpu.data  # noqa: F401 (registry)
     import dreammat_tpu.models  # noqa: F401
     import dreammat_tpu.systems  # noqa: F401
+    from dreammat_tpu.parallel import distributed as dist
     from dreammat_tpu.utils.config import load_config
+
+    # multi-host process group (no-op on single host; reference analog is
+    # Lightning's DDP env plumbing, launch.py:44-59 + utils/misc.py:104-120)
+    proc_id, proc_n = dist.maybe_initialize()
+    if proc_n > 1:
+        dreammat_tpu.info("multi-host: process %d/%d", proc_id, proc_n)
 
     if args.verbose:
         import logging
@@ -58,12 +65,14 @@ def main(argv=None) -> None:
     dreammat_tpu.info("devices: %s", jax.devices())
     dreammat_tpu.info("trial dir: %s", cfg.trial_dir)
     os.makedirs(cfg.trial_dir, exist_ok=True)
-    with open(os.path.join(cfg.trial_dir, "cmd.txt"), "w") as f:
-        f.write(" ".join(["python"] + sys.argv) + "\n")
-    # config snapshot (reference callbacks.py:97-111)
+    if dist.is_rank_zero():
+        with open(os.path.join(cfg.trial_dir, "cmd.txt"), "w") as f:
+            f.write(" ".join(["python"] + sys.argv) + "\n")
+    # config snapshot (reference callbacks.py:97-111), rank 0 only
     import shutil
 
-    shutil.copy(args.config, os.path.join(cfg.trial_dir, "parsed.yaml"))
+    if dist.is_rank_zero():
+        shutil.copy(args.config, os.path.join(cfg.trial_dir, "parsed.yaml"))
     # code snapshot of git-tracked files (reference callbacks.py:60-95)
     try:
         import subprocess
@@ -73,6 +82,8 @@ def main(argv=None) -> None:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout.split()
         snap = os.path.join(cfg.trial_dir, "code_snapshot")
+        if not dist.is_rank_zero():
+            files = []
         for rel in files:
             src = os.path.join(os.path.dirname(os.path.abspath(__file__)), rel)
             dst = os.path.join(snap, rel)

@@ -117,3 +117,40 @@ def test_vertex_normals_sphere():
     # on a sphere, vertex normal ~ position direction
     cos = (vn * vp).sum(-1) / np.linalg.norm(vp, axis=-1)
     assert cos.min() > 0.99
+
+
+def test_plane_caster_matches_bruteforce():
+    """cast_rays_plane (plane/edge-equation scan, the MXU-friendly default
+    for small/medium meshes) vs exact Möller–Trumbore brute force."""
+    for subdiv in (1, 2):
+        m = mesh_lib.make_icosphere(subdiv=subdiv)
+        bvh = bvh_lib.build_bvh(np.asarray(m.v_pos), np.asarray(m.t_pos_idx))
+        rng = np.random.RandomState(subdiv)
+        o, d = _random_rays(rng, 700)
+        got = bvh_lib.cast_rays_plane(bvh, o, d)
+        ref = bvh_lib.cast_rays_bruteforce(m.v_pos, m.t_pos_idx, o, d)
+        assert np.array_equal(np.asarray(got["hit"]), np.asarray(ref["hit"]))
+        hit = np.asarray(ref["hit"])
+        assert np.allclose(np.asarray(got["t"])[hit], np.asarray(ref["t"])[hit], atol=1e-4)
+        # barycentric hit positions must agree even where face ids tie
+        def pos(out):
+            f = np.maximum(np.asarray(out["face"]), 0)
+            tri = np.asarray(m.t_pos_idx)[f]
+            vp = np.asarray(m.v_pos)
+            u = np.asarray(out["u"])[:, None]
+            v = np.asarray(out["v"])[:, None]
+            return (1 - u - v) * vp[tri[:, 0]] + u * vp[tri[:, 1]] + v * vp[tri[:, 2]]
+        assert np.allclose(pos(got)[hit], pos(ref)[hit], atol=2e-3)
+
+
+def test_plane_caster_t_max_and_miss():
+    m = mesh_lib.make_icosphere(subdiv=1)
+    bvh = bvh_lib.build_bvh(np.asarray(m.v_pos), np.asarray(m.t_pos_idx))
+    o = jnp.asarray([[0.0, 0.0, 3.0], [0.0, 0.0, 3.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 1.0, 0.0]])  # hit, miss
+    out = bvh_lib.cast_rays_plane(bvh, o, d)
+    assert bool(out["hit"][0]) and not bool(out["hit"][1])
+    assert float(out["t"][1]) == bvh_lib.MISS_DEPTH
+    # t_max short enough that the hit is rejected
+    out2 = bvh_lib.cast_rays_plane(bvh, o, d, t_max=1.0)
+    assert not bool(out2["hit"][0])

@@ -121,3 +121,73 @@ def test_loggers(tmp_path):
     p = ProgressWriter(str(tmp_path / "progress"))
     p.update(50, 100)
     assert "50.0%" in open(tmp_path / "progress").read()
+
+
+@pytest.fixture(scope="module")
+def dm_random():
+    """Random-camera mode (use_fix_views=false): per-step sampled cameras
+    with perturbs (reference RandomCameraIterableDataset, uncond.py:66-338)."""
+    geo = dreammat_tpu.find("dreammat-mesh")(
+        {
+            "shape_init": "procedural:sphere",
+            "pos_encoding_config": {
+                "otype": "HashGrid", "n_levels": 2, "n_features_per_level": 2,
+                "log2_hashmap_size": 8, "base_resolution": 4, "per_level_scale": 1.5,
+            },
+        }
+    )
+    geo.set_mesh(make_icosphere(1))
+    mat = dreammat_tpu.find("dreammat-material")(
+        {
+            "environment_texture": "/nonexistent", "n_environments": 2,
+            "env_height": 16, "env_width": 32,
+            "diffuse_sample_num": 8, "specular_sample_num": 4,
+            "use_prefiltered": True,
+        }
+    )
+    bg = dreammat_tpu.find("solid-color-background")({})
+    ren = dreammat_tpu.find("raytracing-renderer")({}, geo, mat, bg)
+    dm = dreammat_tpu.find("random-camera-datamodule")(
+        {
+            "width": 24, "height": 24, "eval_width": 24, "eval_height": 24,
+            "use_fix_views": False, "fix_env_num": 2,
+            "camera_perturb": 0.1, "center_perturb": 0.05, "up_perturb": 0.02,
+            "progressive_until": 10,
+            "cond_height": 24, "cond_width": 24,
+            "prerender_cache_dir": None, "n_test_views": 2,
+        },
+        ren, mat,
+    )
+    dm.setup()
+    return dm
+
+
+def test_random_mode_collate(dm_random):
+    b = dm_random.collate(step=0)
+    assert b["condition_map"].shape == (1, 24, 24, 22)
+    assert b["gbuffer"].mask.shape == (24, 24)
+    assert 0 <= int(b["env_id"]) < 2
+    assert np.isfinite(np.asarray(b["condition_map"])).all()
+    V = dm_random.renderer.mesh.v_pos.shape[0]
+    assert b["light_table"].shape[0] == V
+    # fixed pixel budget across steps => one jitted train-step shape
+    b2 = dm_random.collate(step=500)
+    assert b2["gbuffer"].fg_idx.shape == b["gbuffer"].fg_idx.shape
+    # cameras actually vary
+    els = {float(dm_random.collate(step=i)["elevation"][0]) for i in range(6)}
+    assert len(els) > 1
+
+
+def test_random_mode_progressive(dm_random):
+    """Early steps stay near the eval elevation; late steps span the range
+    (reference progressive_view, uncond.py:125-133)."""
+    early = [float(dm_random.collate(step=0)["azimuth"][0]) for _ in range(8)]
+    late = [float(dm_random.collate(step=1000)["azimuth"][0]) for _ in range(8)]
+    assert max(abs(a) for a in early) <= 180.0 / 11 + 1e-3
+    assert max(abs(a) for a in late) > 30.0
+
+
+def test_random_mode_eval_view(dm_random):
+    b = dm_random.eval_view(0)
+    assert b["gbuffer"].mask.shape == (24, 24)
+    assert b["light_table"] is not None

@@ -56,3 +56,38 @@ def test_shard_rays_matches_local(mesh8):
     y = jnp.ones((37, 4))
     out = shard_rays(mesh8, fn, x, y)
     assert np.allclose(np.asarray(out), np.asarray(x * 2 + y), atol=1e-6)
+
+
+class TestDistributed:
+    """Multi-host control plane (parallel/distributed.py). Single-host here:
+    helpers must be exact no-ops; the real-coordinator path is exercised by
+    initializing a 1-process group (same code path as a pod, minus peers).
+    Reference analogs: utils/misc.py:104-120 barrier/broadcast,
+    prompt_processors/base.py:364-416 rank-0 cache + barrier."""
+
+    def test_single_host_noops(self):
+        from dreammat_tpu.parallel import distributed as dist
+
+        assert dist.process_count() >= 1
+        assert dist.is_rank_zero() == (dist.process_index() == 0)
+        dist.barrier("test")  # must not hang or raise on single host
+
+    def test_rank_zero_fill(self, tmp_path):
+        from dreammat_tpu.parallel import distributed as dist
+
+        p = str(tmp_path / "cache.npy")
+        calls = []
+        assert dist.rank_zero_fill(p, lambda: (calls.append(1), open(p, "w").write("a")))
+        assert calls == [1]
+        # second call: artifact exists, fill_fn must NOT run again
+        assert dist.rank_zero_fill(p, lambda: calls.append(2))
+        assert calls == [1]
+
+    def test_maybe_initialize_env_gated(self, monkeypatch):
+        from dreammat_tpu.parallel import distributed as dist
+
+        # without any multi-host env, initialize must not be attempted
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("DREAMMAT_MULTIHOST", raising=False)
+        pid, pn = dist.maybe_initialize()
+        assert (pid, pn) == (jax.process_index(), jax.process_count())

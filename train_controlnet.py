@@ -26,8 +26,15 @@ def main():
     import dreammat_tpu
     import dreammat_tpu.systems  # registry
     from dreammat_tpu.data.controlnet_dataset import ControlNetDataset
+    from dreammat_tpu.parallel import distributed as dist
     from dreammat_tpu.parallel.mesh import make_mesh
     from dreammat_tpu.utils.config import merge_dicts, parse_dotlist
+
+    # multi-host DP (reference: HF accelerate DDP init,
+    # diffusers_train_controlnet.py:535-540); no-op on single host
+    proc_id, proc_n = dist.maybe_initialize()
+    if proc_n > 1:
+        dreammat_tpu.info("multi-host: process %d/%d", proc_id, proc_n)
 
     if args.config.endswith(".json"):
         with open(args.config) as f:
