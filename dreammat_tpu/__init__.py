@@ -64,3 +64,26 @@ def warn(msg, *a):
 
 def debug(msg, *a):
     logger.debug(msg, *a)
+
+
+# ---------------------------------------------------------------------------
+# persistent XLA compilation cache: prerender/train-step compiles are tens of
+# seconds each; repeat runs (and every job after the first in batch
+# generation) should pay zero. Disable with DREAMMAT_NO_COMPILE_CACHE=1.
+# ---------------------------------------------------------------------------
+import os as _os
+
+if _os.environ.get("DREAMMAT_NO_COMPILE_CACHE") != "1":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "DREAMMAT_COMPILE_CACHE",
+                _os.path.expanduser("~/.cache/dreammat_tpu_xla"),
+            ),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # old jax or read-only fs: run without the cache
+        pass

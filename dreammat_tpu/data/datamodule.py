@@ -58,6 +58,11 @@ class RandomCameraDataModule(BaseObject):
         fix_env_num: int = 5
         cond_height: int = 256
         cond_width: int = 256
+        # measure the fast-path (split-sum tables + baked visibility) error
+        # against exact MC on one view at setup; above the threshold the
+        # tables are dropped and training shades through the exact estimator
+        fastpath_check: bool = False
+        fastpath_rmse_threshold: float = 0.08
         prerender_cache_dir: Optional[str] = ".dreammat_tpu_cache/prerender"
         pixel_budget: int = 0
         seed: int = 0
@@ -101,6 +106,26 @@ class RandomCameraDataModule(BaseObject):
             cond_height=cfg.cond_height, cond_width=cfg.cond_width,
             pixel_budget=cfg.pixel_budget or None,
         )
+        if (
+            cfg.fastpath_check
+            and self.data.table_spec is not None
+            and getattr(self.material.cfg, "use_prefiltered", False)
+        ):
+            rmse = prerender_lib.fastpath_residual(
+                self.renderer, self.material, self.data
+            )
+            if rmse > cfg.fastpath_rmse_threshold:
+                dreammat_tpu.warn(
+                    "fast-path RMSE %.4f > %.4f: dropping prefiltered tables, "
+                    "training will shade through the exact MC estimator",
+                    rmse, cfg.fastpath_rmse_threshold,
+                )
+                self.data.table_spec = None
+            else:
+                dreammat_tpu.info(
+                    "fast-path check: color RMSE %.4f vs exact MC (<= %.4f)",
+                    rmse, cfg.fastpath_rmse_threshold,
+                )
         if cfg.blender_generate and cfg.reference_cache_dir:
             lm, d, n = prerender_lib.load_reference_png_cache(
                 cfg.reference_cache_dir, cfg.fix_view_num, cfg.fix_env_num,

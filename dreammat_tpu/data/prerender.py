@@ -445,6 +445,15 @@ def prerender(
 
     import time as _time
 
+    _t0 = _time.time()
+    jax.block_until_ready(material.envs)
+    if getattr(material, "baked_visibility", None) is not None:
+        jax.block_until_ready(material.baked_visibility.table)
+    dreammat_tpu.info(
+        "prerender: waited %.1fs for configure-time device work",
+        _time.time() - _t0,
+    )
+
     # all views' G-buffers in a handful of device dispatches (one shared
     # pixel budget, so a single jitted shade_view shape covers every view)
     _t0 = _time.time()
@@ -524,7 +533,7 @@ def prerender(
     )
     # [Nv, E, V, 1+K, 3] -> diffuse slot is view-independent; store specular
     table_spec = tables[:, :, :, 1:]
-    jax.block_until_ready(table_spec)
+    jax.block_until_ready((table_spec, lightmaps, depths, normals))
     dreammat_tpu.info(
         "prerender: probes+tables for %d views in %.1fs", Nv, _time.time() - _t0
     )
@@ -575,10 +584,70 @@ def prerender(
     )
 
 
+_PROBE_TAGS = ["m0.0r0.0", "m0.0r0.5", "m0.0r1.0", "m1.0r0.0", "m1.0r0.5", "m1.0r1.0"]
+
+
+def _inverse_normalize_depth(depth_raw: np.ndarray, min_val: float = 0.3) -> np.ndarray:
+    """The reference's loaddepth transform (uncond.py:539-556): raw depth
+    (scene units, 0 = miss) -> inverse-normalized [min_val, 1] foreground."""
+    mask = depth_raw > 0
+    out = np.zeros_like(depth_raw, dtype=np.float32)
+    if mask.sum() > 0:
+        inv = 1.0 / (depth_raw + 1e-6)
+        dmax = inv[mask].max()
+        dmin = inv[mask].min()
+        out[mask] = (1 - min_val) * (inv[mask] - dmin) / (dmax - dmin + 1e-6) + min_val
+    return out
+
+
+def fastpath_residual(
+    renderer, material, data: "PrerenderData", view_id: int = 0,
+    env_id: int = 0, metallic: float = 0.5, roughness_sq: float = 0.3,
+) -> float:
+    """Full-chain fast-path error on one view: shade_prefiltered (vertex
+    split-sum tables) vs the exact MC estimator with per-ray BVH visibility
+    (reference-parity, dreammat_material.py:615-677). Returns foreground
+    color RMSE. Cost: one exact-MC view (~tens of seconds at 512²) — run
+    once per mesh when data.fastpath_check is on."""
+    import jax
+
+    gb = data.gbuffers[view_id]
+    P = gb.fg_pos.shape[0]
+    m = jnp.full((P, 1), metallic)
+    r = jnp.full((P, 1), roughness_sq)
+    a = jnp.full((P, 3), 0.6)
+
+    table = jnp.concatenate(
+        [
+            jnp.asarray(data.table_diff)[env_id][:, None].astype(jnp.float32),
+            data.table_spec[view_id, env_id].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    pf = material.shade_prefiltered(
+        gb.fg_normal, gb.fg_viewdir, m, r, a, table,
+        vis_data=(gb.fg_tri, gb.fg_bary),
+    )
+
+    baked = material.baked_visibility
+    material.set_baked_visibility(None)
+    material.set_raytracer(renderer.trace)
+    mc = material.shade_raytracing(
+        gb.fg_pos, gb.fg_normal, gb.fg_viewdir, jnp.int32(env_id), m, r, a,
+        jax.random.PRNGKey(0), is_train=False, mask=gb.fg_valid,
+    )
+    material.set_baked_visibility(baked)
+
+    valid = np.asarray(gb.fg_valid)
+    d = (np.asarray(pf["color"]) - np.asarray(mc["color"]))[valid]
+    return float(np.sqrt(np.mean(d ** 2)))
+
+
 def load_reference_png_cache(dir_path: str, n_views: int, n_envs: int,
                              cond_height: int = 256, cond_width: int = 256):
     """Ingest the reference's Blender PNG cache layout
-    (uncond.py:536-582: depth/{i}.png, normal/{i}.png,
+    (uncond.py:536-582: depth/{i:03d}.png — 16-bit RAW depth in mm,
+    inverse-normalized at load; normal/{i:03d}.png;
     light/{view:03d}_m{m}r{r}_env{e}.png) for drop-in interchangeability."""
     from PIL import Image
 
@@ -594,16 +663,51 @@ def load_reference_png_cache(dir_path: str, n_views: int, n_envs: int,
         dpath = os.path.join(dir_path, "depth", f"{i:03d}.png")
         npath = os.path.join(dir_path, "normal", f"{i:03d}.png")
         if os.path.exists(dpath):
-            d = np.asarray(Image.open(dpath).resize((size[1], size[0])), dtype=np.float32)
-            d = d / 65535.0 if d.dtype == np.uint16 or d.max() > 255 else d / 255.0
-            depths[i] = d.reshape(cond_height, cond_width, -1)[..., :1]
+            img = Image.open(dpath).resize((size[1], size[0]), Image.NEAREST)
+            d = np.asarray(img, dtype=np.float32)
+            if d.ndim == 3:
+                d = d[..., 0]
+            # reference loaddepth (uncond.py:539-556): 16-bit png holds
+            # depth*1000 (mm); normalize AFTER loading
+            depths[i] = _inverse_normalize_depth(d / 1000.0)[..., None]
         if os.path.exists(npath):
             normals[i] = loadrgb(npath, size)
         for e in range(1, n_envs + 1):
-            mr = ["m0.0r0.0", "m0.0r0.5", "m0.0r1.0", "m1.0r0.0", "m1.0r0.5", "m1.0r1.0"]
             chans = []
-            for tag in mr:
+            for tag in _PROBE_TAGS:
                 p = os.path.join(dir_path, "light", f"{i:03d}_{tag}_env{e}.png")
                 chans.append(loadrgb(p, size) if os.path.exists(p) else np.zeros((*size, 3), np.float32))
             lightmaps[i, e - 1] = np.concatenate(chans, axis=-1)
     return lightmaps, depths, normals
+
+
+def write_reference_png_cache(dir_path: str, lightmaps, depth_raw, normals) -> None:
+    """Write condition maps in the reference's Blender PNG cache layout so
+    this framework's prerender can feed the reference code (and so the
+    parity harness can roundtrip through the exact file format).
+
+    lightmaps [Nv,E,H,W,18] sRGB in [0,1]; depth_raw [Nv,H,W] scene-unit
+    distances (0 = miss) stored as 16-bit mm like blender_script_fixview's
+    depth compositor; normals [Nv,H,W,3] in [0,1]."""
+    from PIL import Image
+
+    lightmaps = np.asarray(lightmaps, dtype=np.float32)
+    depth_raw = np.asarray(depth_raw, dtype=np.float32)
+    normals = np.asarray(normals, dtype=np.float32)
+    for sub in ("depth", "normal", "light"):
+        os.makedirs(os.path.join(dir_path, sub), exist_ok=True)
+    n_views, n_envs = lightmaps.shape[:2]
+    for i in range(n_views):
+        d16 = np.clip(depth_raw[i] * 1000.0 + 0.5, 0, 65535).astype(np.uint16)
+        Image.fromarray(d16).save(
+            os.path.join(dir_path, "depth", f"{i:03d}.png")
+        )
+        n8 = np.clip(normals[i] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        Image.fromarray(n8).save(os.path.join(dir_path, "normal", f"{i:03d}.png"))
+        for e in range(n_envs):
+            for pi, tag in enumerate(_PROBE_TAGS):
+                img = lightmaps[i, e, :, :, 3 * pi : 3 * pi + 3]
+                u8 = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                Image.fromarray(u8).save(
+                    os.path.join(dir_path, "light", f"{i:03d}_{tag}_env{e + 1}.png")
+                )

@@ -198,6 +198,25 @@ def _gbuffer_from_rays(
     )
 
 
+def _edge_blend(img: jnp.ndarray, mask_f: jnp.ndarray, background) -> jnp.ndarray:
+    """1-pixel analytic-antialias substitute (reference applies nvdiffrast's
+    antialias to comp_rgb and the normal map, raytracing_renderer.py:201,
+    utils/rasterize.py:72-78; coverage GRADIENTS are not needed — DreamMat
+    optimizes materials only, geometry is frozen). Foreground colors are
+    dilated one pixel (masked 3x3 mean) and blended against the background
+    with the 3x3 soft coverage, so silhouettes feed the VAE/ControlNet a
+    smooth image statistic instead of a hard binary edge."""
+    m = mask_f[..., None]  # [H,W,1]
+    win = lambda x: jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (3, 3, 1), (1, 1, 1), "SAME"
+    )
+    wsum = win(m)
+    neigh = win(img * m) / jnp.maximum(wsum, 1e-6)
+    filled = img * m + neigh * (1.0 - m)
+    cov = jnp.where(m > 0.5, 1.0, wsum / 9.0)  # interior pixels stay exact
+    return filled * cov + background * (1.0 - cov)
+
+
 @dreammat_tpu.register("raytracing-renderer")
 class RaytraceRenderer(BaseObject):
     @dataclass
@@ -205,6 +224,7 @@ class RaytraceRenderer(BaseObject):
         context_type: str = "jax"  # accepted for config parity; unused
         change_type: str = "gaussian"
         change_eps: float = 0.05
+        antialias: bool = True  # 1-px edge blend on comp_rgb / comp_normal
         pixel_budget: int = 0  # 0 => auto (max fg count, padded)
         # "baked": per-vertex octahedral visibility baked once per mesh (fast
         # TPU default); "raytrace": exact per-step BVH rays (reference
@@ -486,11 +506,19 @@ class RaytraceRenderer(BaseObject):
             return img.reshape(H, W, C)
 
         white = jnp.ones((1, 3))
+        comp_rgb = composite(shade_out["color"], white)
+        comp_normal = gb.cn_normal.astype(jnp.float32)
+        if self.cfg.antialias:
+            mf = gb.mask.astype(jnp.float32)
+            comp_rgb = _edge_blend(comp_rgb, mf, white)
+            comp_normal = _edge_blend(
+                comp_normal, mf, jnp.asarray([0.5, 0.5, 1.0])
+            )
         out = {
-            "comp_rgb": composite(shade_out["color"], white),
+            "comp_rgb": comp_rgb,
             "opacity": gb.mask[..., None].astype(jnp.float32),
             "comp_depth": gb.cn_depth.astype(jnp.float32),
-            "comp_normal": gb.cn_normal.astype(jnp.float32),
+            "comp_normal": comp_normal,
             "albedo": composite(shade_out["albedo"], white),
             "metalness": composite(shade_out["metalness"], jnp.ones((1, 1))),
             "roughness": composite(shade_out["roughness"], jnp.ones((1, 1))),

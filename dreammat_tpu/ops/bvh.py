@@ -404,11 +404,21 @@ def cast_rays(
     }
 
 
-# Below this many triangles, dense triangle-scan casting wins on TPU:
-# the BVH while_loop is gather-latency-bound (~ms per iteration), while the
-# dense path is pure regular VPU math (~30 flops per ray-tri pair, no
-# gathers). 262k rays x 200k tris ~ 1.6 TFLOP = well under a second.
-DENSE_CAST_MAX_TRIS = 1 << 18
+# Below this many triangles, dense scanning wins on TPU: the BVH while_loop
+# is gather-latency-bound, the dense paths are regular vector math. Measured
+# on one v5e chip, 262144 rays (tools/bench_casters.py, icospheres):
+#
+#   tris    pallas-dense  xla-plane  mt-dense   bvh-while-loop
+#   1.3k        17 ms        43 ms     155 ms      1.40 s
+#   20k        143 ms       566 ms    2.07 s       2.50 s
+#   327k       2.18 s       9.20 s       —        19.5 s
+#   1.31M      8.71 s      36.6 s        —        53.2 s
+#
+# The Pallas tiled caster (VMEM running-min, MXU dot products) beats the
+# while-loop traversal at EVERY size tested — 6x even at 1.3M tris — so the
+# threshold only guards degenerate inputs where the [12, T] row tile and
+# (R/bR x T/bT) grid stop making sense.
+DENSE_CAST_MAX_TRIS = 1 << 22
 
 
 @functools.partial(jax.jit, static_argnames=("tri_chunk",))
@@ -543,11 +553,156 @@ def cast_rays_plane(bvh: FlatBVH, rays_o, rays_d, t_max: float = MISS_DEPTH):
     return jax.tree_util.tree_map(lambda x: x.reshape(-1, *x.shape[2:])[:R], out)
 
 
+def _plane_tri_data(bvh: FlatBVH):
+    """Per-triangle plane/edge-equation constants (see cast_rays_plane):
+    rows [Nx Ny Nz d0 | gux guy guz cu | gvx gvy gvz cv] as [12, T], plus
+    tri ids as f32 (exact for id < 2^24; the dense casters never see more)."""
+    v0, e1, e2 = bvh.tri_v0, bvh.tri_e1, bvh.tri_e2
+    n = jnp.cross(e1, e2)
+    gu_raw = jnp.cross(e2, n)
+    gv_raw = jnp.cross(n, e1)
+    du = jnp.sum(gu_raw * e1, axis=-1, keepdims=True)
+    dv = jnp.sum(gv_raw * e2, axis=-1, keepdims=True)
+    degen = (jnp.abs(du) < 1e-18) | (jnp.abs(dv) < 1e-18)
+    gu = gu_raw / jnp.where(jnp.abs(du) < 1e-18, 1.0, du)
+    gv = gv_raw / jnp.where(jnp.abs(dv) < 1e-18, 1.0, dv)
+    d0 = -jnp.sum(n * v0, axis=-1)
+    cu = -jnp.sum(gu * v0, axis=-1)
+    cv = -jnp.sum(gv * v0, axis=-1)
+    tid = jnp.where(degen[:, 0], -1, bvh.tri_id).astype(jnp.float32)
+    rows = jnp.concatenate(
+        [n.T, d0[None], gu.T, cu[None], gv.T, cv[None]], axis=0
+    )  # [12, T]
+    return rows, tid
+
+
+def _dense_pallas_kernel(ray_ref, tri_ref, tid_ref, t_ref, f_ref, u_ref, v_ref,
+                         *, t_max: float):
+    """One (ray_tile, tri_tile) program. Grid iterates tri tiles fastest, so
+    the output blocks for a ray tile stay VMEM-resident and act as running
+    (min-t, face, u, v) accumulators — zero [R,T] HBM traffic (the XLA
+    plane-scan's bound). ~30 VPU ops per ray-triangle pair."""
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        t_ref[...] = jnp.full_like(t_ref, t_max)
+        f_ref[...] = jnp.full_like(f_ref, -1.0)
+        u_ref[...] = jnp.zeros_like(u_ref)
+        v_ref[...] = jnp.zeros_like(v_ref)
+
+    rays = ray_ref[...]                      # [bR, 8]
+    tri = tri_ref[...]                       # [12, bT]
+    tid = tid_ref[...]                       # [1, bT]
+    o3 = rays[:, 0:3]
+    d3 = rays[:, 3:6]
+    d0, cu, cv = tri[3:4], tri[7:8], tri[11:12]
+
+    # the six [bR,3]x[3,bT] contractions ride the MXU; the VPU only does the
+    # ~15 elementwise ops below
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    A = dot(o3, tri[0:3]) + d0               # [bR, bT]
+    B = dot(d3, tri[0:3])
+    safe = jnp.abs(B) > 1e-12
+    t = -A / jnp.where(safe, B, 1.0)
+    u = (dot(o3, tri[4:7]) + cu) + t * dot(d3, tri[4:7])
+    v = (dot(o3, tri[8:11]) + cv) + t * dot(d3, tri[8:11])
+    valid = (
+        safe & (t > 1e-6)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (tid >= 0.0)
+    )
+    tm = jnp.where(valid, t, jnp.inf)
+
+    # lane-reduce to this tile's best hit; first-lane tiebreak (iota must be
+    # integer on TPU)
+    lt = jnp.min(tm, axis=1, keepdims=True)                     # [bR,1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1)
+    cand = jnp.where(tm == lt, lane, jnp.int32(1 << 30))
+    first = lane == jnp.min(cand, axis=1, keepdims=True)
+    pick = lambda x: jnp.sum(jnp.where(first, x, 0.0), axis=1, keepdims=True)
+    better = (lt < t_ref[...]) & jnp.isfinite(lt)
+    t_ref[...] = jnp.where(better, lt, t_ref[...])
+    f_ref[...] = jnp.where(better, pick(jnp.broadcast_to(tid, tm.shape)), f_ref[...])
+    u_ref[...] = jnp.where(better, pick(u), u_ref[...])
+    v_ref[...] = jnp.where(better, pick(v), v_ref[...])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_max", "block_r", "block_t", "interpret")
+)
+def cast_rays_dense_pallas(
+    bvh: FlatBVH, rays_o, rays_d, t_max: float = MISS_DEPTH,
+    block_r: int = 512, block_t: int = 512, interpret: bool = False,
+):
+    """Pallas tiled dense caster: the default G-buffer/visibility caster on
+    TPU. Same math as cast_rays_plane, but the running first-hit reduction
+    lives in VMEM across triangle tiles instead of materializing [R,T]
+    score arrays in HBM."""
+    from jax.experimental import pallas as pl
+
+    R = rays_o.shape[0]
+    rows, tid = _plane_tri_data(bvh)
+    T = rows.shape[1]
+    padT = (-T) % block_t
+    if padT:
+        rows = jnp.pad(rows, ((0, 0), (0, padT)))
+        tid = jnp.pad(tid, (0, padT), constant_values=-1.0)
+    padR = (-R) % block_r
+    rays = jnp.concatenate(
+        [rays_o.astype(jnp.float32), rays_d.astype(jnp.float32),
+         jnp.zeros((R, 2), jnp.float32)], axis=1,
+    )
+    if padR:
+        rays = jnp.pad(rays, ((0, 0), (0, padR)))
+    Rp, Tp = R + padR, T + padT
+
+    grid = (Rp // block_r, Tp // block_t)  # tri tiles fastest (last dim)
+    t, f, u, v = pl.pallas_call(
+        functools.partial(_dense_pallas_kernel, t_max=t_max),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_r, 8), lambda i, j: (i, 0)),
+            pl.BlockSpec((12, block_t), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_t), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rays, rows, tid[None])
+    t, f, u, v = t[:R, 0], f[:R, 0], u[:R, 0], v[:R, 0]
+    face = f.astype(jnp.int32)
+    hit = face >= 0
+    return {
+        "t": jnp.where(hit, t, MISS_DEPTH),
+        "face": face,
+        "u": jnp.where(hit, u, 0.0),
+        "v": jnp.where(hit, v, 0.0),
+        "hit": hit,
+    }
+
+
 def cast_rays_chunked(bvh: FlatBVH, rays_o, rays_d, chunk: int = 1 << 16, t_max: float = MISS_DEPTH):
-    """Dispatch to the plane-equation scan for small/medium meshes (see
-    DENSE_CAST_MAX_TRIS; chunking is internal there) or the BVH while-loop
-    traversal in fixed-size ray chunks for big ones."""
+    """Dispatch to the dense tiled caster for small/medium meshes (see
+    DENSE_CAST_MAX_TRIS; Pallas on TPU, plane-equation XLA scan elsewhere)
+    or the BVH while-loop traversal in fixed-size ray chunks for big ones."""
     if bvh.tri_packed.shape[0] <= DENSE_CAST_MAX_TRIS:
+        if jax.default_backend() == "tpu":
+            return cast_rays_dense_pallas(bvh, rays_o, rays_d, t_max=t_max)
         return cast_rays_plane(bvh, rays_o, rays_d, t_max=t_max)
     R = rays_o.shape[0]
     pad = (-R) % chunk

@@ -154,3 +154,25 @@ def test_plane_caster_t_max_and_miss():
     # t_max short enough that the hit is rejected
     out2 = bvh_lib.cast_rays_plane(bvh, o, d, t_max=1.0)
     assert not bool(out2["hit"][0])
+
+
+def test_dense_pallas_matches_bruteforce():
+    """Pallas tiled caster (interpret mode on CPU = exact kernel logic)."""
+    m = mesh_lib.make_icosphere(subdiv=2)
+    bvh = bvh_lib.build_bvh(np.asarray(m.v_pos), np.asarray(m.t_pos_idx))
+    rng = np.random.RandomState(4)
+    o, d = _random_rays(rng, 600)
+    got = bvh_lib.cast_rays_dense_pallas(bvh, o, d, block_r=128, block_t=128,
+                                         interpret=True)
+    ref = bvh_lib.cast_rays_bruteforce(m.v_pos, m.t_pos_idx, o, d)
+    assert np.array_equal(np.asarray(got["hit"]), np.asarray(ref["hit"]))
+    hit = np.asarray(ref["hit"])
+    assert np.allclose(np.asarray(got["t"])[hit], np.asarray(ref["t"])[hit], atol=1e-4)
+    def pos(out):
+        f = np.maximum(np.asarray(out["face"]), 0)
+        tri = np.asarray(m.t_pos_idx)[f]
+        vp = np.asarray(m.v_pos)
+        u = np.asarray(out["u"])[:, None]
+        v = np.asarray(out["v"])[:, None]
+        return (1 - u - v) * vp[tri[:, 0]] + u * vp[tri[:, 1]] + v * vp[tri[:, 2]]
+    assert np.allclose(pos(got)[hit], pos(ref)[hit], atol=2e-3)

@@ -102,7 +102,7 @@ def test_vae_old_attention_alias():
     sd = convert.flax_to_torch_state_dict(params, "vae")
     renamed = {}
     for k, v in sd.items():
-        for new, old in convert._VAE_ATTN_ALIASES.items():
+        for new, old in convert._VAE_ALIASES:
             if new in k:
                 k = k.replace(new, old)
                 break

@@ -191,3 +191,44 @@ def test_random_mode_eval_view(dm_random):
     b = dm_random.eval_view(0)
     assert b["gbuffer"].mask.shape == (24, 24)
     assert b["light_table"] is not None
+
+
+def test_fastpath_check_and_fallback():
+    """fastpath_check measures prefiltered-vs-exact RMSE at setup and drops
+    the tables above the threshold (VERDICT r1 #4 auto-fallback)."""
+    geo = dreammat_tpu.find("dreammat-mesh")(
+        {
+            "shape_init": "procedural:sphere",
+            "pos_encoding_config": {
+                "otype": "HashGrid", "n_levels": 2, "n_features_per_level": 2,
+                "log2_hashmap_size": 8, "base_resolution": 4, "per_level_scale": 1.5,
+            },
+        }
+    )
+    geo.set_mesh(make_icosphere(1))
+    mat = dreammat_tpu.find("dreammat-material")(
+        {
+            "environment_texture": "/nonexistent", "n_environments": 1,
+            "env_height": 16, "env_width": 32,
+            "diffuse_sample_num": 32, "specular_sample_num": 32,
+            "use_prefiltered": True,
+        }
+    )
+    bg = dreammat_tpu.find("solid-color-background")({})
+    ren = dreammat_tpu.find("raytracing-renderer")({}, geo, mat, bg)
+    base = {
+        "width": 24, "height": 24, "fix_view_num": 1, "fix_env_num": 1,
+        "cond_height": 24, "cond_width": 24, "prerender_cache_dir": None,
+        "fastpath_check": True,
+    }
+    dm1 = dreammat_tpu.find("random-camera-datamodule")(dict(base), ren, mat)
+    dm1.setup()
+    assert dm1.data.table_spec is not None  # sphere: well under threshold
+
+    mat.set_baked_visibility(None)  # fresh renderer state for second module
+    ren2 = dreammat_tpu.find("raytracing-renderer")({}, geo, mat, bg)
+    dm2 = dreammat_tpu.find("random-camera-datamodule")(
+        dict(base, fastpath_rmse_threshold=1e-6), ren2, mat
+    )
+    dm2.setup()
+    assert dm2.data.table_spec is None  # impossible threshold -> fallback

@@ -85,9 +85,18 @@ def test_shade_view_outputs(rig):
     assert out["comp_rgb"].shape == (H, W, 3)
     for k, v in out.items():
         assert np.isfinite(np.asarray(v)).all(), k
-    # background is white
+    # background is white — except the 1-px antialias ring around the
+    # silhouette (renderer._edge_blend), so test pixels with no foreground
+    # anywhere in their 3x3 neighborhood
     mask = np.asarray(gb.mask)
-    assert np.allclose(np.asarray(out["comp_rgb"])[~mask], 1.0, atol=1e-5)
+    pad = np.pad(mask, 1)
+    near_fg = np.zeros_like(mask)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            near_fg |= pad[1 + dy : 1 + dy + mask.shape[0],
+                           1 + dx : 1 + dx + mask.shape[1]]
+    far_bg = (~mask) & (~near_fg)
+    assert np.allclose(np.asarray(out["comp_rgb"])[far_bg], 1.0, atol=1e-5)
 
 
 def test_shade_view_grad(rig):
@@ -120,3 +129,29 @@ def test_trace_matches_reference_semantics(rig):
     assert bool(hit[0]) and not bool(hit[1])
     assert abs(float(depth[0, 0]) - 2.0) < 0.05  # sphere radius 1 at distance 3
     assert float(depth[1, 0]) >= 10.0  # miss depth semantics
+
+
+def test_edge_blend_antialias():
+    """Silhouette pixels become fractional coverage; interior stays exact
+    (reference: nvdiffrast antialias on comp_rgb/normal,
+    raytracing_renderer.py:201)."""
+    import jax.numpy as jnp
+
+    from dreammat_tpu.models.renderer import _edge_blend
+
+    H = 8
+    mask = np.zeros((H, H), np.float32)
+    mask[2:6, 2:6] = 1.0
+    img = np.zeros((H, H, 3), np.float32)
+    img[2:6, 2:6] = 0.2  # dark square on white bg
+    out = np.asarray(_edge_blend(jnp.asarray(img), jnp.asarray(mask), jnp.ones(3)))
+    # interior pixel exact
+    assert np.allclose(out[3, 3], 0.2)
+    # far background exact
+    assert np.allclose(out[0, 0], 1.0)
+    # one-pixel ring outside the mask is a blend strictly between fg and bg
+    ring = out[1, 3, 0]
+    assert 0.2 < ring < 1.0
+    # binary-mask hard edge is gone: the transition spans >= 2 intensity steps
+    col = out[:, 3, 0]
+    assert len(np.unique(np.round(col, 3))) >= 3

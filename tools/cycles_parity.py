@@ -1,0 +1,312 @@
+"""Cycles-parity harness (SURVEY hard part #2, VERDICT r1 #3).
+
+The pretrained geometry/light ControlNet was trained on Blender/Cycles
+renders (/root/reference/threestudio_dreammat/threestudio/data/
+blender_script_fixview.py:309-462 — 64 spp, 1 diffuse + 1 glossy bounce).
+This framework replaces that prerender with its own renderer, so the
+question "how far is our condition stack from what the ControlNet expects?"
+must be MEASURED, not assumed. This harness reports, per condition channel
+group (depth / normal / six probes):
+
+- per-channel foreground residuals (MAE, RMSE) between our conv-bake
+  condition stack and a reference stack, and
+- the frozen-ControlNet response delta: both stacks pushed through the same
+  ControlNet (random weights by default; --model <dir> loads real ones) and
+  compared on its residual outputs — the metric that actually matters for
+  guidance quality (SURVEY §7 stage 8 mitigation).
+
+Reference stack source, in order of preference:
+1. --reference-cache DIR: a real Blender PNG cache in the reference layout
+   (uncond.py:536-582) rendered for the same cameras.
+2. otherwise: this framework's own exact-MC probe renderer with per-ray BVH
+   visibility (reference-parity estimator), roundtripped through the PNG
+   cache format — isolating the fast-path (conv bake) + quantization error.
+
+Env var knobs under test: --environment-scale sweeps the reference's
+config value to minimize the residual.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GROUPS = {
+    "depth": (0, 1),
+    "normal": (1, 4),
+    "probe_m0r0": (4, 7),
+    "probe_m0r.5": (7, 10),
+    "probe_m0r1": (10, 13),
+    "probe_m1r0": (13, 16),
+    "probe_m1r.5": (16, 19),
+    "probe_m1r1": (19, 22),
+}
+
+
+def build_rig(mesh_path, n_views, n_envs, res, env_scale, mc_samples, seed=0):
+    import jax
+
+    import dreammat_tpu
+    import dreammat_tpu.models  # registry
+    from dreammat_tpu.data.cameras import make_fixed_cameras
+
+    geo = dreammat_tpu.find("dreammat-mesh")(
+        {
+            "shape_init": f"mesh:{mesh_path}",
+            "shape_init_params": 0.9,
+            "pos_encoding_config": {
+                "otype": "HashGrid", "n_levels": 2, "n_features_per_level": 2,
+                "log2_hashmap_size": 8, "base_resolution": 4, "per_level_scale": 1.5,
+            },
+        }
+    )
+    mat = dreammat_tpu.find("dreammat-material")(
+        {
+            "environment_texture": "load/lights/envmap",
+            "environment_scale": env_scale,
+            "n_environments": n_envs,
+            "diffuse_sample_num": mc_samples,
+            "specular_sample_num": mc_samples,
+            "use_prefiltered": True,
+        }
+    )
+    bg = dreammat_tpu.find("solid-color-background")({})
+    ren = dreammat_tpu.find("raytracing-renderer")({}, geo, mat, bg)
+    cam = make_fixed_cameras(n_views, seed=seed)
+    return geo, mat, ren, cam
+
+
+def our_stack(ren, mat, cam, n_envs, res, cond_res):
+    """Fast-path condition stack: [Nv, E, cond, cond, 22] float32 + raw depth."""
+    import jax
+    import jax.numpy as jnp
+
+    from dreammat_tpu.data import prerender as pre
+    from dreammat_tpu.utils import ops as uops
+
+    data = pre.prerender(ren, mat, cam, res, res, n_envs,
+                         cache_dir=None, cond_height=cond_res, cond_width=cond_res)
+    Nv = len(cam)
+    stacks = np.zeros((Nv, n_envs, cond_res, cond_res, 22), np.float32)
+    for i in range(Nv):
+        for e in range(n_envs):
+            stacks[i, e] = np.concatenate(
+                [
+                    np.asarray(data.depths[i], np.float32),
+                    np.asarray(data.normals[i], np.float32),
+                    np.asarray(data.lightmaps[i, e], np.float32),
+                ],
+                axis=-1,
+            )
+    # raw scene-unit depth for the PNG writer: |fg_pos - cam_pos| scattered
+    cam_pos = np.asarray(uops.camera_position_from_spherical(
+        jnp.asarray(cam.elevation_deg), jnp.asarray(cam.azimuth_deg),
+        jnp.asarray(cam.camera_distances)))
+    H = W = res
+    raw = np.zeros((Nv, H, W), np.float32)
+    for i, gb in enumerate(data.gbuffers):
+        t = np.linalg.norm(np.asarray(gb.fg_pos) - cam_pos[i], axis=-1)
+        img = np.zeros(H * W, np.float32)
+        valid = np.asarray(gb.fg_valid)
+        img[np.asarray(gb.fg_idx)[valid]] = t[valid]
+        raw[i] = img.reshape(H, W)
+    return data, stacks, raw
+
+
+def mc_reference_stack(ren, mat, cam, n_envs, res, cond_res, tmp_dir):
+    """Exact-MC probe stack with per-ray BVH visibility, roundtripped
+    through the reference PNG cache layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from dreammat_tpu.data import prerender as pre
+    from dreammat_tpu.data.cameras import camera_rays_and_matrices
+
+    # exact visibility: drop the baked table, use BVH rays
+    baked = mat.baked_visibility
+    mat.set_baked_visibility(None)
+    mat.set_raytracer(ren.trace)
+
+    Nv = len(cam)
+    lightmaps = np.zeros((Nv, n_envs, res, res, 18), np.float32)
+    raw_depth = np.zeros((Nv, res, res), np.float32)
+    normals = np.zeros((Nv, res, res, 3), np.float32)
+    for i in range(Nv):
+        cd = camera_rays_and_matrices(cam, i, res, res)
+        gb = ren.build_gbuffer(cd["rays_o"], cd["rays_d"], cd["w2c"])
+        probes, _ = pre.render_probes_for_view_mc(
+            ren, mat, gb, n_envs, jax.random.PRNGKey(11),
+        )
+        lightmaps[i] = np.asarray(probes, np.float32)
+        normals[i] = np.asarray(gb.cn_normal, np.float32)
+        t = np.linalg.norm(
+            np.asarray(gb.fg_pos) - np.asarray(cd["camera_position"]), axis=-1
+        )
+        img = np.zeros(res * res, np.float32)
+        valid = np.asarray(gb.fg_valid)
+        img[np.asarray(gb.fg_idx)[valid]] = t[valid]
+        raw_depth[i] = img.reshape(res, res)
+
+    mat.set_baked_visibility(baked)
+    pre.write_reference_png_cache(tmp_dir, lightmaps, raw_depth, normals)
+    lm, d, n = pre.load_reference_png_cache(tmp_dir, Nv, n_envs, cond_res, cond_res)
+    stacks = np.concatenate(
+        [d.astype(np.float32), n.astype(np.float32), lm.astype(np.float32)[:, 0]],
+        axis=-1,
+    )[:, None]
+    if n_envs > 1:
+        stacks = np.concatenate(
+            [
+                np.concatenate(
+                    [d.astype(np.float32), n.astype(np.float32),
+                     lm.astype(np.float32)[:, e]], axis=-1
+                )[:, None]
+                for e in range(n_envs)
+            ],
+            axis=1,
+        )
+    return stacks
+
+
+def residual_table(ours, ref):
+    """Per-group MAE/RMSE over foreground (ref depth > 0)."""
+    fg = ref[..., 0] > 1e-3
+    rows = {}
+    for name, (a, b) in GROUPS.items():
+        d = (ours[..., a:b] - ref[..., a:b])[fg]
+        rows[name] = {
+            "mae": float(np.abs(d).mean()),
+            "rmse": float(np.sqrt((d ** 2).mean())),
+        }
+    return rows
+
+
+def controlnet_delta(ours, ref, model_dir=None):
+    """Frozen-ControlNet response delta between the two stacks."""
+    import jax
+    import jax.numpy as jnp
+
+    from dreammat_tpu.models.diffusion import convert
+    from dreammat_tpu.models.diffusion.controlnet import ControlNet, ControlNetConfig
+    from dreammat_tpu.models.diffusion.unet import UNetConfig
+
+    H = ours.shape[2]
+    if model_dir and os.path.isdir(os.path.join(model_dir, "controlnet")):
+        ccfg = ControlNetConfig(unet=UNetConfig.sd21(), conditioning_channels=22)
+        cnet = ControlNet(ccfg, dtype=jnp.bfloat16)
+        lat = H // 8
+        ctx_dim = 1024
+        tpl = convert.fast_random_init(
+            jax.random.PRNGKey(0),
+            lambda: cnet.init(jax.random.PRNGKey(0), jnp.zeros((1, lat, lat, 4)),
+                              jnp.zeros((1,)), jnp.zeros((1, 4, ctx_dim)),
+                              jnp.zeros((1, H, H, 22))),
+        )
+        ckpt = convert.find_checkpoint_file(os.path.join(model_dir, "controlnet"))
+        sd = convert.load_torch_state_dict(ckpt)
+        params = convert.torch_to_flax_params(sd, tpl, "controlnet", strict=True)
+        kind = "real-sd21"
+    else:
+        ccfg = ControlNetConfig.tiny()
+        cnet = ControlNet(ccfg)
+        lat = H // 2
+        ctx_dim = ccfg.unet.cross_attention_dim
+        params = cnet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, lat, lat, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 4, ctx_dim)), jnp.zeros((1, H, H, 22)),
+        )
+        kind = "tiny-random"
+
+    sample = jax.random.normal(jax.random.PRNGKey(1), (1, lat, lat, 4))
+    t = jnp.asarray([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, ctx_dim))
+
+    @jax.jit
+    def respond(cond):
+        down, mid = cnet.apply(params, sample, t, ctx, cond, 1.0)
+        return jnp.concatenate([jnp.ravel(x) for x in list(down) + [mid]])
+
+    deltas = []
+    for i in range(ours.shape[0]):
+        for e in range(ours.shape[1]):
+            ra = respond(jnp.asarray(ours[i, e])[None])
+            rb = respond(jnp.asarray(ref[i, e])[None])
+            denom = float(jnp.linalg.norm(rb)) + 1e-9
+            deltas.append(float(jnp.linalg.norm(ra - rb)) / denom)
+    return {"kind": kind, "rel_l2_mean": float(np.mean(deltas)),
+            "rel_l2_max": float(np.max(deltas))}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--mesh",
+        default="/root/reference/threestudio_dreammat/load/shapes/objs/apple.obj",
+    )
+    ap.add_argument("--reference-cache", default=None)
+    ap.add_argument("--views", type=int, default=4)
+    ap.add_argument("--envs", type=int, default=2)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--cond-res", type=int, default=256)
+    ap.add_argument("--mc-samples", type=int, default=256)
+    ap.add_argument("--environment-scale", type=float, nargs="+", default=[2.0])
+    ap.add_argument("--model", default=None, help="dir with controlnet/ weights")
+    args = ap.parse_args()
+
+    for env_scale in args.environment_scale:
+        geo, mat, ren, cam = build_rig(
+            args.mesh, args.views, args.envs, args.res, env_scale, args.mc_samples
+        )
+        data, ours, raw = our_stack(ren, mat, cam, args.envs, args.res, args.cond_res)
+        if args.reference_cache:
+            from dreammat_tpu.data import prerender as pre
+
+            lm, d, n = pre.load_reference_png_cache(
+                args.reference_cache, args.views, args.envs,
+                args.cond_res, args.cond_res,
+            )
+            ref = np.concatenate(
+                [
+                    np.concatenate(
+                        [d.astype(np.float32), n.astype(np.float32),
+                         lm.astype(np.float32)[:, e]], axis=-1
+                    )[:, None]
+                    for e in range(args.envs)
+                ],
+                axis=1,
+            )
+            src = "blender-cache"
+        else:
+            import tempfile
+
+            with tempfile.TemporaryDirectory() as td:
+                ref = mc_reference_stack(
+                    ren, mat, cam, args.envs, args.res, args.cond_res, td
+                )
+            src = "exact-mc-roundtrip"
+
+        table = residual_table(ours, ref)
+        cn = controlnet_delta(ours, ref, args.model)
+        print(json.dumps({
+            "mesh": os.path.basename(args.mesh), "reference": src,
+            "environment_scale": env_scale, "residuals": table,
+            "controlnet_delta": cn,
+        }), flush=True)
+
+        print(f"\n# {os.path.basename(args.mesh)} vs {src} (env_scale={env_scale})")
+        print("| channel group | MAE | RMSE |")
+        print("|---|---|---|")
+        for name, r in table.items():
+            print(f"| {name} | {r['mae']:.4f} | {r['rmse']:.4f} |")
+        print(f"\nControlNet ({cn['kind']}) response rel-L2: "
+              f"mean {cn['rel_l2_mean']:.4f}, max {cn['rel_l2_max']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

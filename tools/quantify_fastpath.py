@@ -1,0 +1,276 @@
+"""Quantify the fast-path approximation chain (VERDICT r1 #4).
+
+The default training path stacks three approximations on top of the exact
+Monte-Carlo estimator the reference optimizes
+(/root/reference/threestudio_dreammat/threestudio/models/materials/
+dreammat_material.py:615-677):
+
+    per-vertex octahedral visibility (oct_res bins)
+      -> shadowed-radiance cache
+        -> K-level GGX split-sum tables (prerender.TABLE_ALPHAS)
+
+This tool measures, against exact MC shading with true per-ray BVH
+visibility (the reference-parity path):
+
+- image RMSE of the shaded color, per (metallic, roughness) combo
+- cosine similarity of d(loss)/d(material features) — does the fast path
+  pull the optimizer in the same direction?
+
+across meshes (smooth / thin "light-leak" slabs / self-occluding torus /
+a real example mesh) x oct_res in {8, 16, 32} x environments.
+
+Writes a markdown table to stdout and one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_slabs():
+    """Two parallel THIN slabs: vertex-resolution visibility famously leaks
+    light through thin geometry; this is the adversarial case."""
+    from dreammat_tpu.models.mesh import Mesh, compute_vertex_normals
+    import jax.numpy as jnp
+
+    def slab(z0, z1, n=8):
+        xs = np.linspace(-1, 1, n)
+        v, f = [], []
+        for z in (z0, z1):
+            base = len(v)
+            for y in xs:
+                for x in xs:
+                    v.append([x, y, z])
+            for i in range(n - 1):
+                for j in range(n - 1):
+                    a = base + i * n + j
+                    if z == z1:
+                        f += [[a, a + 1, a + n], [a + 1, a + n + 1, a + n]]
+                    else:
+                        f += [[a, a + n, a + 1], [a + 1, a + n, a + n + 1]]
+        return np.asarray(v, np.float32), np.asarray(f, np.int64)
+
+    v1, f1 = slab(0.0, 0.04)     # thin slab near z=0
+    v2, f2 = slab(0.5, 0.54)     # second slab casting a shadow on the first
+    v = np.concatenate([v1, v2])
+    f = np.concatenate([f1, f2 + len(v1)])
+    nrm = compute_vertex_normals(v, f)
+    return Mesh(jnp.asarray(v), jnp.asarray(f, jnp.int32), jnp.asarray(nrm))
+
+
+def make_torus(R=0.7, r=0.28, nu=48, nv=24):
+    """Self-occluding geometry (the inner tube shadows itself)."""
+    from dreammat_tpu.models.mesh import Mesh, compute_vertex_normals
+    import jax.numpy as jnp
+
+    v, f = [], []
+    for i in range(nu):
+        a = 2 * np.pi * i / nu
+        for j in range(nv):
+            b = 2 * np.pi * j / nv
+            v.append([
+                (R + r * np.cos(b)) * np.cos(a),
+                (R + r * np.cos(b)) * np.sin(a),
+                r * np.sin(b),
+            ])
+    for i in range(nu):
+        for j in range(nv):
+            a = i * nv + j
+            b = i * nv + (j + 1) % nv
+            c = ((i + 1) % nu) * nv + j
+            d = ((i + 1) % nu) * nv + (j + 1) % nv
+            f += [[a, b, c], [b, d, c]]
+    v = np.asarray(v, np.float32)
+    f = np.asarray(f, np.int64)
+    nrm = compute_vertex_normals(v, f)
+    return Mesh(jnp.asarray(v), jnp.asarray(f, jnp.int32), jnp.asarray(nrm))
+
+
+MR_COMBOS = [(0.0, 0.3), (0.9, 0.5), (0.5, 0.1), (0.0, 0.9)]
+
+
+def run(mesh_name, mesh_or_path, oct_resolutions, n_envs, res, mc_samples, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    import dreammat_tpu
+    import dreammat_tpu.models  # registry
+    from dreammat_tpu.data import prerender as pre
+    from dreammat_tpu.data.cameras import camera_rays_and_matrices, make_fixed_cameras
+    from dreammat_tpu.models.mesh import make_icosphere  # noqa: F401
+    from dreammat_tpu.ops import visibility as vis_lib
+
+    geo_cfg = {
+        "pos_encoding_config": {
+            "otype": "HashGrid", "n_levels": 2, "n_features_per_level": 2,
+            "log2_hashmap_size": 8, "base_resolution": 4, "per_level_scale": 1.5,
+        },
+    }
+    if isinstance(mesh_or_path, str):
+        geo = dreammat_tpu.find("dreammat-mesh")(
+            dict(geo_cfg, shape_init=f"mesh:{mesh_or_path}", shape_init_params=0.9)
+        )
+    else:
+        geo = dreammat_tpu.find("dreammat-mesh")(
+            dict(geo_cfg, shape_init="procedural:sphere")
+        )
+        geo.set_mesh(mesh_or_path)
+
+    mat_cfg = {
+        "environment_texture": "load/lights/envmap",
+        "environment_scale": 2.0,
+        "n_environments": n_envs,
+        "diffuse_sample_num": mc_samples,
+        "specular_sample_num": mc_samples,
+        "use_prefiltered": True,
+    }
+    # exact reference-parity ground truth: per-ray BVH visibility
+    mat = dreammat_tpu.find("dreammat-material")(mat_cfg)
+    bg = dreammat_tpu.find("solid-color-background")({})
+    ren = dreammat_tpu.find("raytracing-renderer")(
+        {"visibility_mode": "raytrace"}, geo, mat, bg
+    )
+    cam = make_fixed_cameras(2, seed=seed)
+    gbs = [
+        ren.build_gbuffer(
+            *(lambda cd: (cd["rays_o"], cd["rays_d"], cd["w2c"]))(
+                camera_rays_and_matrices(cam, i, res, res)
+            )
+        )
+        for i in range(2)
+    ]
+    cds = [camera_rays_and_matrices(cam, i, res, res) for i in range(2)]
+
+    rows = []
+    for env_id in range(n_envs):
+        for vi, gb in enumerate(gbs):
+            valid = np.asarray(gb.fg_valid)
+
+            def shade_exact(m, r):
+                P = gb.fg_pos.shape[0]
+                return mat.shade_raytracing(
+                    gb.fg_pos, gb.fg_normal, gb.fg_viewdir, jnp.int32(env_id),
+                    jnp.full((P, 1), m), jnp.full((P, 1), r),
+                    jnp.full((P, 3), 0.6),
+                    jax.random.PRNGKey(7), is_train=False, mask=gb.fg_valid,
+                )
+
+            gt = {mr: np.asarray(shade_exact(*mr)["color"])[valid] for mr in MR_COMBOS}
+
+            # exact-path gradient direction (loss = weighted color sum)
+            P = gb.fg_pos.shape[0]
+            W = jax.random.uniform(jax.random.PRNGKey(3), (P, 3))
+
+            def loss_exact(feats):
+                out, _ = mat(
+                    gb.fg_pos, feats, feats, gb.fg_viewdir, gb.fg_normal,
+                    jnp.int32(env_id), jax.random.PRNGKey(7), is_train=False,
+                    mask=gb.fg_valid,
+                )
+                return jnp.sum(out["color"] * W)
+
+            g_gt = np.asarray(jax.grad(loss_exact)(jnp.zeros((P, 5))))
+
+            for oct_res in oct_resolutions:
+                baked = vis_lib.bake_vertex_visibility(
+                    ren.bvh, ren.mesh.v_pos, ren.mesh.v_nrm, oct_res=oct_res
+                )
+                mat.set_baked_visibility(baked)
+                lvis, e_d, fg_lut, _ = pre.mesh_bakes(ren, mat, n_envs)
+                _, tabs = pre.render_probes_for_view(
+                    ren, mat, gb, n_envs, cds[vi]["camera_position"],
+                    lvis=lvis, e_d_vertex=e_d, oct_res=oct_res, fg_lut=fg_lut,
+                )
+                table = jnp.asarray(tabs[env_id], jnp.float32)
+
+                rmses = {}
+                for mr in MR_COMBOS:
+                    m, r = mr
+                    pf = mat.shade_prefiltered(
+                        gb.fg_normal, gb.fg_viewdir,
+                        jnp.full((P, 1), m), jnp.full((P, 1), r),
+                        jnp.full((P, 3), 0.6), table,
+                        vis_data=(gb.fg_tri, gb.fg_bary),
+                    )
+                    c = np.asarray(pf["color"])[valid]
+                    rmses[mr] = float(np.sqrt(np.mean((c - gt[mr]) ** 2)))
+
+                def loss_pf(feats):
+                    out, _ = mat(
+                        gb.fg_pos, feats, feats, gb.fg_viewdir, gb.fg_normal,
+                        jnp.int32(env_id), jax.random.PRNGKey(7), is_train=False,
+                        mask=gb.fg_valid, vis_data=(gb.fg_tri, gb.fg_bary),
+                        light_table=table,
+                    )
+                    return jnp.sum(out["color"] * W)
+
+                g_pf = np.asarray(jax.grad(loss_pf)(jnp.zeros((P, 5))))
+                cos = float(
+                    np.sum(g_pf * g_gt)
+                    / (np.linalg.norm(g_pf) * np.linalg.norm(g_gt) + 1e-12)
+                )
+                mat.set_baked_visibility(None)  # restore exact mode
+
+                row = {
+                    "mesh": mesh_name, "env": env_id, "view": vi,
+                    "oct_res": oct_res,
+                    "rmse_mean": float(np.mean(list(rmses.values()))),
+                    "rmse_max": float(np.max(list(rmses.values()))),
+                    "grad_cos": cos,
+                    **{f"rmse_m{m}r{r}": v for (m, r), v in rmses.items()},
+                }
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=96)
+    ap.add_argument("--envs", type=int, default=2)
+    ap.add_argument("--mc-samples", type=int, default=256)
+    ap.add_argument("--oct", type=int, nargs="+", default=[8, 16, 32])
+    ap.add_argument("--meshes", nargs="+",
+                    default=["sphere", "slabs", "torus", "apple"])
+    args = ap.parse_args()
+
+    from dreammat_tpu.models.mesh import make_icosphere
+
+    catalog = {
+        "sphere": lambda: make_icosphere(3),
+        "slabs": make_slabs,
+        "torus": make_torus,
+        "apple": lambda: (
+            "/root/reference/threestudio_dreammat/load/shapes/objs/apple.obj"
+        ),
+    }
+    all_rows = []
+    for name in args.meshes:
+        m = catalog[name]()
+        all_rows += run(name, m, args.oct, args.envs, args.res, args.mc_samples)
+
+    # markdown summary: per (mesh, oct_res) averaged over envs/views
+    print("\n| mesh | oct_res | RMSE mean | RMSE max | grad cos |")
+    print("|---|---|---|---|---|")
+    seen = {}
+    for r in all_rows:
+        k = (r["mesh"], r["oct_res"])
+        seen.setdefault(k, []).append(r)
+    for (mesh, oc), rs in seen.items():
+        print(
+            f"| {mesh} | {oc} | "
+            f"{np.mean([r['rmse_mean'] for r in rs]):.4f} | "
+            f"{np.max([r['rmse_max'] for r in rs]):.4f} | "
+            f"{np.mean([r['grad_cos'] for r in rs]):.4f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
