@@ -94,7 +94,8 @@ def main():
     rng = jax.random.PRNGKey(0)
     state, m = fn(state, system.guidance.params, batch["gbuffer"], batch["condition_map"],
                   batch["env_id"], batch["elevation"], batch["azimuth"],
-                  batch["camera_distances"], rng)
+                  batch["camera_distances"], rng, batch.get("light_table"),
+                  batch.get("enc_maps"))
     jax.block_until_ready(m["loss"])
     n = 10
     # (a) fixed batch: pure device step rate (no host collate / H2D)
@@ -103,7 +104,7 @@ def main():
         state, m = fn(state, system.guidance.params, batch["gbuffer"], batch["condition_map"],
                       batch["env_id"], batch["elevation"], batch["azimuth"],
                       batch["camera_distances"], jax.random.fold_in(rng, i),
-                      batch.get("light_table"))
+                      batch.get("light_table"), batch.get("enc_maps"))
     jax.block_until_ready(m["loss"])
     sps_device = n / (time.time() - t1)
     # (b) fresh batch each step: includes collate + transfers
@@ -113,7 +114,7 @@ def main():
         state, m = fn(state, system.guidance.params, batch["gbuffer"], batch["condition_map"],
                       batch["env_id"], batch["elevation"], batch["azimuth"],
                       batch["camera_distances"], jax.random.fold_in(rng, i),
-                      batch.get("light_table"))
+                      batch.get("light_table"), batch.get("enc_maps"))
     jax.block_until_ready(m["loss"])
     dt = time.time() - t1
     sps = n / dt
@@ -124,19 +125,21 @@ def main():
 
     renderer = system.renderer
 
-    def render_loss(geo_params, gbuffer, env_id, rng, light_table):
+    def render_loss(geo_params, gbuffer, env_id, rng, light_table, enc_maps=None):
         out = renderer.shade_view(geo_params, gbuffer, env_id, rng, is_train=True,
-                                  light_table=light_table)
+                                  light_table=light_table, enc_maps=enc_maps)
         return jnp2.mean(out["comp_rgb"]) + out["loss_mat_reg"]
 
     try:
         rstep = jax.jit(jax.grad(render_loss))
-        g = rstep(state["geo"], batch["gbuffer"], batch["env_id"], rng, batch.get("light_table"))
+        g = rstep(state["geo"], batch["gbuffer"], batch["env_id"], rng, batch.get("light_table"),
+                  batch.get("enc_maps"))
         jax.block_until_ready(g)
         t1 = time.time()
         for i in range(n):
             g = rstep(state["geo"], batch["gbuffer"], batch["env_id"],
-                      jax.random.fold_in(rng, i), batch.get("light_table"))
+                      jax.random.fold_in(rng, i), batch.get("light_table"),
+                      batch.get("enc_maps"))
         jax.block_until_ready(g)
         sps_render = n / (time.time() - t1)
         dreammat_tpu.info("render-only grad: %.2f it/s", sps_render)

@@ -7,3 +7,4 @@ from dreammat_tpu.models import renderer  # noqa: F401
 from dreammat_tpu.models import mesh  # noqa: F401
 from dreammat_tpu.models import prompt  # noqa: F401
 from dreammat_tpu.models import guidance  # noqa: F401
+from dreammat_tpu.models import guidance_sds  # noqa: F401

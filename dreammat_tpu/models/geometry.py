@@ -109,5 +109,20 @@ class DreamMatMesh(BaseObject):
         enc = hg.hashgrid_encode(params["table"], x, self.enc_cfg)
         return mlp_lib.apply_mlp(params["mlp"], enc)
 
+    # -- view-static encode (scatter-free table backward) --------------------
+    def build_static_maps(self, points: jnp.ndarray) -> hg.EncodeMaps:
+        """One-time per (view, query-set) sort structure for fixed query
+        points — enables hashgrid_encode_static's scatter-free backward
+        (ops/hashgrid.py). Points are normalized exactly like apply()."""
+        bbox = self.bbox3d if self.cfg.n_input_dims == 3 else self.bbox2d
+        x = (points - bbox[0]) / (bbox[1] - bbox[0])
+        return hg.build_encode_maps(jnp.clip(x, 0.0, 1.0), self.enc_cfg)
+
+    def apply_static(self, params: Dict[str, Any], maps: hg.EncodeMaps) -> jnp.ndarray:
+        """apply() for fixed points via precomputed maps: identical features,
+        ~14x faster table gradient on TPU (931 ms -> ~65 ms measured)."""
+        enc = hg.hashgrid_encode_static(params["table"], maps, self.enc_cfg)
+        return mlp_lib.apply_mlp(params["mlp"], enc)
+
     def export(self, params: Dict[str, Any], points: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         return {"features": self.apply(params, points)}

@@ -201,6 +201,37 @@ class StableDiffusionLightGuidance(BaseObject):
             mid_block_additional_residual=mid,
         )
 
+    def _image_conditions(self, condition_map):
+        """Per control type: 'light' consumes the 22-ch stack; 'depth' and
+        'normal' reuse slices of it (channels 0 and 1:4). Resizes to guidance
+        res; grayscale -> 3ch for depth controlnets (prepare_image_cond,
+        dreammat_guidance.py:518-534)."""
+        cfg = self.cfg
+        if condition_map is None:
+            return None
+
+        def prep(cond, want_channels=None):
+            if want_channels == 3 and cond.shape[-1] == 1:
+                cond = jnp.repeat(cond, 3, axis=-1)
+            if cond.shape[1] != cfg.height or cond.shape[2] != cfg.width:
+                cond = jax.image.resize(
+                    cond, (cond.shape[0], cfg.height, cfg.width, cond.shape[-1]),
+                    method="linear",
+                )
+            return cond
+
+        image_cond = []
+        for ct in cfg.control_types:
+            if ct == "light":
+                image_cond.append(prep(condition_map))
+            elif ct == "depth":
+                image_cond.append(prep(condition_map[..., 0:1], want_channels=3))
+            elif ct == "normal":
+                image_cond.append(prep(condition_map[..., 1:4]))
+            else:
+                raise ValueError(f"unsupported control type {ct}")
+        return image_cond
+
     def condition_scales_at(self, step) -> List:
         cfg = self.cfg
         scales = []
@@ -265,38 +296,9 @@ class StableDiffusionLightGuidance(BaseObject):
         latents_noisy = add_noise(self.schedule, latents, noise, t)
 
         scales = self.condition_scales_at(step) if cfg.use_controlnet else []
-
-        def prep(cond, want_channels=None):
-            """Resize to guidance res; grayscale -> 3ch for depth controlnets
-            (prepare_image_cond, dreammat_guidance.py:518-534)."""
-            if cond is None:
-                return None
-            if want_channels == 3 and cond.shape[-1] == 1:
-                cond = jnp.repeat(cond, 3, axis=-1)
-            if cond.shape[1] != cfg.height or cond.shape[2] != cfg.width:
-                cond = jax.image.resize(
-                    cond, (cond.shape[0], cfg.height, cfg.width, cond.shape[-1]),
-                    method="linear",
-                )
-            return cond
-
-        if cfg.use_controlnet:
-            # per control type: 'light' consumes the 22-ch stack; 'depth' and
-            # 'normal' reuse slices of it (channels 0 and 1:4)
-            image_cond = []
-            for ct in cfg.control_types:
-                if ct == "light":
-                    image_cond.append(prep(condition_map))
-                elif ct == "depth":
-                    image_cond.append(prep(condition_map[..., 0:1], want_channels=3))
-                elif ct == "normal":
-                    image_cond.append(prep(condition_map[..., 1:4]))
-                else:
-                    raise ValueError(f"unsupported control type {ct}")
-            if condition_map is None:
-                image_cond = None
-        else:
-            image_cond = None
+        image_cond = (
+            self._image_conditions(condition_map) if cfg.use_controlnet else None
+        )
 
         sg = jax.lax.stop_gradient
         if prompt_utils.use_perp_neg:

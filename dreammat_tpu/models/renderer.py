@@ -225,6 +225,12 @@ class RaytraceRenderer(BaseObject):
         change_type: str = "gaussian"
         change_eps: float = 0.05
         antialias: bool = True  # 1-px edge blend on comp_rgb / comp_normal
+        # "view": the smoothness-reg jitter offsets are drawn once per view so
+        # BOTH field queries hit fixed points -> scatter-free table backward
+        # (ops/hashgrid.py view-static encode). "step" resamples the jitter
+        # every step like the reference (raytracing_renderer.py:161-173) and
+        # pays the slow autodiff scatter for both queries.
+        jitter_resample: str = "view"
         pixel_budget: int = 0  # 0 => auto (max fg count, padded)
         # "baked": per-vertex octahedral visibility baked once per mesh (fast
         # TPU default); "raytrace": exact per-step BVH rays (reference
@@ -449,6 +455,36 @@ class RaytraceRenderer(BaseObject):
         )
 
     # ------------------------------------------------------------------
+    def _jitter_points(self, gb: GBufferView, key: jax.Array):
+        """Smoothness-reg query points (raytracing_renderer.py:161-181):
+        tangent jitter in 3D mode, gaussian uv noise in 2D mode."""
+        if getattr(self.geometry.cfg, "n_input_dims", 3) == 2:
+            return gb.fg_uv + jax.random.normal(key, gb.fg_uv.shape) * 0.005
+        x = uops.get_orthogonal_directions(gb.fg_normal)
+        y = jnp.cross(gb.fg_normal, x)
+        P = gb.fg_pos.shape[0]
+        ka, ke = jax.random.split(key)
+        ang = jax.random.uniform(ka, (P, 1)) * 2.0 * jnp.pi
+        if self.cfg.change_type == "gaussian":
+            eps = jax.random.normal(ke, (P, 1)) * self.cfg.change_eps
+        else:
+            eps = jnp.full((P, 1), self.cfg.change_eps)
+        change = (jnp.cos(ang) * x + jnp.sin(ang) * y) * eps
+        return gb.fg_pos + change
+
+    def build_enc_maps(self, gb: GBufferView, key: jax.Array):
+        """Per-view (main, jitter) EncodeMaps for the scatter-free field
+        backward. The jitter draw is fixed per view (cfg.jitter_resample
+        == "view"); returns None when the config asks for per-step jitter."""
+        if self.cfg.jitter_resample != "view":
+            return None
+        main_pts = (gb.fg_uv if getattr(self.geometry.cfg, "n_input_dims", 3) == 2
+                    else gb.fg_pos)
+        return (
+            self.geometry.build_static_maps(main_pts),
+            self.geometry.build_static_maps(self._jitter_points(gb, key)),
+        )
+
     def shade_view(
         self,
         geo_params: Dict[str, Any],
@@ -459,35 +495,29 @@ class RaytraceRenderer(BaseObject):
         height: Optional[int] = None,
         width: Optional[int] = None,
         light_table: Optional[jnp.ndarray] = None,
+        enc_maps=None,
     ) -> Dict[str, jnp.ndarray]:
         """The per-step differentiable path: field query + shade + scatter.
         Jit-safe (all fixed shapes, rng explicit)."""
         H, W = gb.mask.shape if height is None else (height, width)
         k_jit, k_shade = jax.random.split(rng)
 
-        # tangent jitter for the smoothness regularizer
-        # (raytracing_renderer.py:161-173)
-        x = uops.get_orthogonal_directions(gb.fg_normal)
-        y = jnp.cross(gb.fg_normal, x)
-        P = gb.fg_pos.shape[0]
-        ka, ke = jax.random.split(k_jit)
-        ang = jax.random.uniform(ka, (P, 1)) * 2.0 * jnp.pi
-        if self.cfg.change_type == "gaussian":
-            eps = jax.random.normal(ke, (P, 1)) * self.cfg.change_eps
-        else:
-            eps = jnp.full((P, 1), self.cfg.change_eps)
-        change = (jnp.cos(ang) * x + jnp.sin(ang) * y) * eps
-
-        if getattr(self.geometry.cfg, "n_input_dims", 3) == 2:
+        if enc_maps is not None:
+            # view-static queries: fixed points -> scatter-free table grads
+            feats = self.geometry.apply_static(geo_params, enc_maps[0])
+            feats_jitter = self.geometry.apply_static(geo_params, enc_maps[1])
+        elif getattr(self.geometry.cfg, "n_input_dims", 3) == 2:
             # UV-space field (reference raytracing_renderer.py:177-181)
             ku = jax.random.fold_in(k_jit, 1)
             feats = self.geometry.apply(geo_params, gb.fg_uv)
             feats_jitter = self.geometry.apply(
-                geo_params, gb.fg_uv + jax.random.normal(ku, gb.fg_uv.shape) * 0.005
+                geo_params, self._jitter_points(gb, ku)
             )
         else:
             feats = self.geometry.apply(geo_params, gb.fg_pos)
-            feats_jitter = self.geometry.apply(geo_params, gb.fg_pos + change)
+            feats_jitter = self.geometry.apply(
+                geo_params, self._jitter_points(gb, k_jit)
+            )
 
         shade_out, mat_reg = self.material(
             gb.fg_pos, feats, feats_jitter, gb.fg_viewdir, gb.fg_normal,

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -114,6 +114,164 @@ def hashgrid_encode(table: jnp.ndarray, points: jnp.ndarray, cfg: HashGridConfig
         outs.append(jnp.sum(feats * wc[..., None], axis=1))  # [P, F]
     out = jnp.concatenate(outs, axis=-1)
     return out.reshape(*orig_shape, cfg.n_output_dims)
+
+
+# ---------------------------------------------------------------------------
+# View-static encode: scatter-free backward for fixed query points.
+#
+# DreamMat's per-step field queries hit FIXED surface points (the G-buffers
+# are precomputed per camera; reference raytracing_renderer.py:177-181 feeds
+# the same positions every step). On TPU the autodiff backward of the table
+# gather is a 20M-row scatter-add that XLA lowers at ~70 ns/row (~930 ms —
+# measured, tools/bench_hashgrid.py), dominating the whole train step. With
+# fixed points the sort of (corner-index -> update-slot) is a per-view
+# CONSTANT, so the backward becomes pure streaming work with NO scatter:
+#
+#   upd        = w * dL/dfeat          elementwise            [P*C, F]
+#   upd_sorted = upd[perm]             one gather   (~5 ns/row)
+#   csum       = cumsum(upd_sorted)    memory-linear
+#   grad[rows] = csum[pos[r+1]]-csum[pos[r]]   one gather of used rows
+#
+# measured end-to-end: 931 ms -> ~65 ms for the same gradients (bitwise-
+# close; fp32 cumsum cancellation bounded by per-level restart, verified in
+# tests/test_hashgrid_static.py).
+# ---------------------------------------------------------------------------
+
+
+class EncodeMaps(NamedTuple):
+    """Per-(view, query) constants for the scatter-free backward.
+
+    x:    [P, D] normalized points in [0,1]^D (fixed for the view)
+    perm: [L*P*C] int32 — flat update-slot ids (l*P*C + p*C + c), ordered by
+          (level, corner table row); gathering upd.flat by perm yields the
+          update stream sorted by destination row
+    pos:  [sum_l rows_l + L] int32 — for each level's used table rows, the
+          start offset of its segment in that level's sorted stream, with a
+          trailing end sentinel per level (segments are contiguous)
+    """
+
+    x: jnp.ndarray
+    perm: jnp.ndarray
+    pos: jnp.ndarray
+
+
+def _level_rows(cfg: HashGridConfig) -> Tuple[int, ...]:
+    """Used table rows per level (dense size when it fits, else table_size)."""
+    out = []
+    for res in cfg.level_resolutions():
+        dense = (int(res) + 1) ** cfg.n_input_dims
+        out.append(dense if dense <= cfg.table_size else cfg.table_size)
+    return tuple(out)
+
+
+def _corners_weights(x: jnp.ndarray, cfg: HashGridConfig):
+    """[P,D] -> per-level (idx [P,C] int32, wc [P,C] f32). Pure VPU math —
+    recomputed every step (cheap); only the sort order is precomputed."""
+    D = cfg.n_input_dims
+    P = x.shape[0]
+    C = 1 << D
+    offs = jnp.asarray(
+        np.stack([[(c >> d) & 1 for d in range(D)] for c in range(C)]).astype(np.float32)
+    )
+    idxs, ws = [], []
+    for res in cfg.level_resolutions():
+        res = int(res)
+        xs = x * res
+        x0 = jnp.floor(xs)
+        w = xs - x0
+        corners = jnp.clip(x0[:, None, :] + offs[None, :, :], 0, res).astype(jnp.int32)
+        if (res + 1) ** D <= cfg.table_size:
+            idx = _dense_index(corners, res, cfg.table_size)
+        else:
+            idx = _hash_corners(corners, cfg.table_size)
+        wc = jnp.ones((P, C), dtype=jnp.float32)
+        for d in range(D):
+            bit = offs[None, :, d]
+            wc = wc * (bit * w[:, d : d + 1] + (1 - bit) * (1 - w[:, d : d + 1]))
+        idxs.append(idx)
+        ws.append(wc)
+    return idxs, ws
+
+
+def build_encode_maps(x: jnp.ndarray, cfg: HashGridConfig) -> EncodeMaps:
+    """One-time (per view) sort of the corner updates by destination table
+    row. Runs on device (argsort + searchsorted); ~0.1 s per 80k-point view."""
+    x = x.reshape(-1, cfg.n_input_dims).astype(jnp.float32)
+    P = x.shape[0]
+    C = 1 << cfg.n_input_dims
+    idxs, _ = _corners_weights(x, cfg)
+    rows = _level_rows(cfg)
+    perms, poss = [], []
+    for lvl in range(cfg.n_levels):
+        keys = idxs[lvl].reshape(-1)  # [P*C]
+        order = jnp.argsort(keys)
+        keys_s = keys[order]
+        perms.append(order.astype(jnp.int32) + lvl * P * C)
+        # segment starts for every used row + end sentinel
+        starts = jnp.searchsorted(keys_s, jnp.arange(rows[lvl], dtype=jnp.int32))
+        poss.append(jnp.concatenate([starts.astype(jnp.int32),
+                                     jnp.asarray([P * C], jnp.int32)]))
+    return EncodeMaps(x=x, perm=jnp.concatenate(perms), pos=jnp.concatenate(poss))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hashgrid_encode_static(table: jnp.ndarray, maps: EncodeMaps, cfg: HashGridConfig):
+    """Same output as ``hashgrid_encode(table, maps.x, cfg)`` but with the
+    scatter-free backward. Gradient flows to ``table`` only (the points are
+    view constants)."""
+    return _static_fwd_impl(table, maps, cfg)
+
+
+def _static_fwd_impl(table, maps, cfg):
+    idxs, ws = _corners_weights(maps.x, cfg)
+    outs = []
+    for lvl in range(cfg.n_levels):
+        feats = table[lvl][idxs[lvl]]  # [P, C, F]
+        outs.append(jnp.sum(feats * ws[lvl][..., None], axis=1))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _static_fwd(table, maps, cfg):
+    return _static_fwd_impl(table, maps, cfg), (table, maps)
+
+
+def _static_bwd(cfg, res, gout):
+    table, maps = res
+    P = maps.x.shape[0]
+    C = 1 << cfg.n_input_dims
+    F = cfg.n_features_per_level
+    L = cfg.n_levels
+    T = cfg.table_size
+    rows = _level_rows(cfg)
+    _, ws = _corners_weights(maps.x, cfg)
+
+    # update stream: upd[l, p, c] = wc[l][p,c] * gout[p, l*F:(l+1)*F].
+    # Everything stays per-level: the permute gather then reads from a small
+    # (~10 MB) footprint, which measures ~2x faster than gathering from the
+    # level-concatenated stream (tools/bench_scatter2.py).
+    g = gout.reshape(P, L, F)
+    grads = []
+    off = 0
+    for lvl in range(L):
+        upd = (ws[lvl][..., None] * g[:, None, lvl, :]).reshape(P * C, F)
+        perm = maps.perm[lvl * P * C : (lvl + 1) * P * C] - lvl * P * C
+        upd_sorted = upd[perm]  # the only indexed read of the stream
+        csum = jnp.concatenate(
+            [jnp.zeros((1, F), upd.dtype), jnp.cumsum(upd_sorted, axis=0)]
+        )
+        pos = maps.pos[off : off + rows[lvl] + 1].astype(jnp.int32)
+        off += rows[lvl] + 1
+        ends = csum[pos]  # one gather of used rows (+1 sentinel)
+        g_used = ends[1:] - ends[:-1]
+        if rows[lvl] < T:
+            g_used = jnp.concatenate(
+                [g_used, jnp.zeros((T - rows[lvl], F), g_used.dtype)], axis=0
+            )
+        grads.append(g_used)
+    return (jnp.stack(grads).astype(table.dtype), None)
+
+
+hashgrid_encode_static.defvjp(_static_fwd, _static_bwd)
 
 
 # ---------------------------------------------------------------------------

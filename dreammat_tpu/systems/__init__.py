@@ -2,3 +2,4 @@
 
 from dreammat_tpu.systems import dreammat  # noqa: F401
 from dreammat_tpu.systems import controlnet_trainer  # noqa: F401
+from dreammat_tpu.systems import texcraft  # noqa: F401

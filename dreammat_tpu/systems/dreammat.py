@@ -111,7 +111,8 @@ class DreamMat(BaseObject):
         optimizer = self.optimizer
 
         def train_step(state, guidance_params, gbuffer, condition_map, env_id,
-                       elevation, azimuth, camera_distances, rng, light_table=None):
+                       elevation, azimuth, camera_distances, rng, light_table=None,
+                       enc_maps=None):
             # guidance_params passed as an argument — NOT closed over — so the
             # ~5 GB of frozen SD weights are jit inputs, not baked constants
             step = state["step"]
@@ -120,7 +121,7 @@ class DreamMat(BaseObject):
             def loss_fn(geo_params):
                 out = renderer.shade_view(
                     geo_params, gbuffer, env_id, k_render, is_train=True,
-                    light_table=light_table,
+                    light_table=light_table, enc_maps=enc_maps,
                 )
                 guidance_out = guidance(
                     guidance_params,
@@ -216,6 +217,7 @@ class DreamMat(BaseObject):
                 state, self.guidance.params, batch["gbuffer"], batch["condition_map"],
                 batch["env_id"], batch["elevation"], batch["azimuth"],
                 batch["camera_distances"], k, batch.get("light_table"),
+                batch.get("enc_maps"),
             )
             if t_warm is None:
                 jax.block_until_ready(metrics["loss"])
