@@ -150,6 +150,8 @@ class StableDiffusionPromptProcessor(BaseObject):
         perp_neg_f_fs: Tuple = (4, 0.5, -2.426)
         perp_neg_f_sf: Tuple = (4, 0.5, -2.426)
         use_prompt_debiasing: bool = False
+        pretrained_model_name_or_path_prompt_debiasing: str = "model/bert-base-uncased"
+        prompt_debiasing_mask_ids: Optional[List[int]] = None
         prompt_library_path: str = "load/prompt_library.json"
         model_size: str = "sd21"  # "sd21" | "tiny" (tests)
 
@@ -184,10 +186,28 @@ class StableDiffusionPromptProcessor(BaseObject):
         self.direction_names = ["side", "front", "back", "overhead"]
         prompt = self.preprocess_prompt(cfg.prompt)
         self.prompt = prompt
-        manual = [cfg.prompt_side, cfg.prompt_front, cfg.prompt_back, cfg.prompt_overhead]
-        self.prompts_vd = [
-            m if m is not None else f.format(prompt) for m, f in zip(manual, fmt)
-        ]
+        if cfg.use_prompt_debiasing:
+            # BERT-PMI debiasing (reference base.py:328-338,467-529): one
+            # debiased base prompt per direction, then direction-formatted
+            assert (
+                cfg.prompt_side is None and cfg.prompt_back is None
+                and cfg.prompt_overhead is None
+            ), "Do not manually assign view prompts when using prompt debiasing"
+            from dreammat_tpu.models.debias import build_bert_mlm, get_debiased_prompt
+
+            mlm_fn, tok = build_bert_mlm(
+                cfg.pretrained_model_name_or_path_prompt_debiasing,
+                size="base" if cfg.model_size == "sd21" else "tiny",
+            )
+            debiased = get_debiased_prompt(
+                prompt, mlm_fn, tok, mask_ids=cfg.prompt_debiasing_mask_ids
+            )
+            self.prompts_vd = [f.format(p) for f, p in zip(fmt, debiased)]
+        else:
+            manual = [cfg.prompt_side, cfg.prompt_front, cfg.prompt_back, cfg.prompt_overhead]
+            self.prompts_vd = [
+                m if m is not None else f.format(prompt) for m, f in zip(manual, fmt)
+            ]
         self.negative_prompts_vd = [cfg.negative_prompt] * 4
         self._text_encoder = text_encoder
         self._emb: Optional[PromptEmbeddings] = None
