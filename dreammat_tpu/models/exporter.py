@@ -7,9 +7,13 @@ sample the material field at texel surface positions, inpaint the padding,
 and write OBJ/MTL with map_Kd / map_Pm / map_Pr.
 
 Differences, by design:
-- xatlas (C++ dep) is replaced by a self-contained dominant-axis smart
-  unwrap (charts = connected components bucketed by face-normal axis+sign,
-  shelf-packed). Meshes that already carry UVs use them directly.
+- xatlas (C++ dep) is replaced by a self-contained smart unwrap: charts =
+  connected components bucketed by face-normal axis+sign, each chart
+  parameterized with LSCM (least-squares conformal map, the same family of
+  algorithm xatlas runs) via sparse scipy least squares, normalized to
+  uniform texel density, shelf-packed. Dominant-axis orthographic
+  projection remains as the per-chart fallback. Meshes that already carry
+  UVs use them directly.
 - UV rasterization reuses the BVH ray caster (UV triangles embedded at
   z=0, one orthographic ray per texel) — one geometric kernel everywhere.
 - TELEA inpainting is replaced by iterative nearest-valid dilation in JAX.
@@ -35,10 +39,114 @@ from dreammat_tpu.utils.base import BaseObject
 # smart UV unwrap (host-side, once per export)
 # ---------------------------------------------------------------------------
 
-def smart_unwrap(v_pos: np.ndarray, faces: np.ndarray, padding: float = 0.01):
-    """Returns (v_tex [F*3,2], t_tex_idx [F,3]): per-chart orthographic
-    projection, charts = connected faces sharing a dominant normal axis+sign,
-    shelf-packed into [0,1]^2 by area."""
+def _lscm_chart(v_pos: np.ndarray, chart_faces: np.ndarray) -> Optional[np.ndarray]:
+    """Least-squares conformal map of one chart -> per-corner UV [n,3,2].
+
+    The xatlas-quality replacement for plain dominant-axis projection
+    (reference uses xatlas, threestudio/models/mesh.py:208-243): LSCM
+    minimizes angle distortion over the chart instead of foreshortening
+    tilted faces by up to cos 45°. Sparse least squares (scipy lsqr) with
+    the two farthest-apart boundary vertices pinned. Returns None when the
+    solve is unusable (degenerate chart, flipped triangles) — caller falls
+    back to the orthographic projection."""
+    try:
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+    except Exception:  # pragma: no cover - scipy is in the image
+        return None
+    n_f = chart_faces.shape[0]
+    if n_f < 2:
+        return None
+    vid, local = np.unique(chart_faces.ravel(), return_inverse=True)
+    local = local.reshape(n_f, 3)
+    P = v_pos[vid]  # [n_v, 3]
+    n_v = len(vid)
+
+    # per-triangle orthonormal frame -> local 2D coords
+    p1, p2, p3 = P[local[:, 0]], P[local[:, 1]], P[local[:, 2]]
+    e1 = p2 - p1
+    e2 = p3 - p1
+    nrm = np.cross(e1, e2)
+    a2 = np.linalg.norm(nrm, axis=-1)  # 2*area
+    good = a2 > 1e-18
+    if not good.any():
+        return None
+    X = e1 / (np.linalg.norm(e1, axis=-1, keepdims=True) + 1e-18)
+    Z = nrm / (a2[:, None] + 1e-18)
+    Y = np.cross(Z, X)
+    x2 = np.einsum("fd,fd->f", e1, X)
+    x3 = np.einsum("fd,fd->f", e2, X)
+    y3 = np.einsum("fd,fd->f", e2, Y)
+    s = 1.0 / np.sqrt(np.maximum(a2, 1e-18))
+    # gradient coefficients (W_real, W_imag) per corner, scaled by 1/sqrt(2A)
+    Wr = np.stack([x3 - x2, -x3, x2], axis=1) * s[:, None]
+    Wi = np.stack([y3 - 0.0, -y3, np.zeros_like(y3)], axis=1) * s[:, None]
+    Wi[:, 0] = y3 * s  # y2 == 0: corner coeffs are (y3-y2, -y3, y2-0) -> (y3, -y3, 0)
+
+    # pin the two farthest-apart vertices (bbox diameter endpoints)
+    lo = np.argmin(P @ np.ones(3))
+    hi = np.argmax(np.linalg.norm(P - P[lo], axis=-1))
+    if lo == hi:
+        return None
+    pins = np.array([lo, hi])
+    order = np.argsort(pins)  # searchsorted below needs sorted pins
+    pinned = pins[order]
+    pin_uv = np.array([[0.0, 0.0], [1.0, 0.0]])[order]
+    free_mask = np.ones(n_v, bool)
+    free_mask[pinned] = False
+    free_id = np.cumsum(free_mask) - 1  # n_v -> index into free vars
+
+    rows_, cols_, vals_ = [], [], []
+    b = np.zeros(2 * n_f)
+    for c in range(3):
+        vtx = local[:, c]
+        is_free = free_mask[vtx]
+        fi = free_id[vtx]
+        tri = np.arange(n_f)
+        # real rows (2t): Wr*u - Wi*v ; imag rows (2t+1): Wi*u + Wr*v
+        for row_off, cu, cv in ((0, Wr[:, c], -Wi[:, c]), (1, Wi[:, c], Wr[:, c])):
+            r = 2 * tri + row_off
+            rows_ += [r[is_free], r[is_free]]
+            cols_ += [2 * fi[is_free], 2 * fi[is_free] + 1]
+            vals_ += [cu[is_free], cv[is_free]]
+            pin_rows = r[~is_free]
+            if len(pin_rows):
+                which = np.searchsorted(pinned, vtx[~is_free])
+                b[pin_rows] -= (
+                    cu[~is_free] * pin_uv[which, 0] + cv[~is_free] * pin_uv[which, 1]
+                )
+    A = sp.csr_matrix(
+        (np.concatenate(vals_), (np.concatenate(rows_), np.concatenate(cols_))),
+        shape=(2 * n_f, 2 * (n_v - 2)),
+    )
+    sol = spla.lsqr(A, b, atol=1e-10, btol=1e-10, iter_lim=4000)[0]
+    uvv = np.zeros((n_v, 2))
+    uvv[free_mask] = sol.reshape(-1, 2)
+    uvv[pinned] = pin_uv
+
+    # reject solves with flipped or collapsed triangles (bad charts bake
+    # wrong texels through the UV rasterizer)
+    q1, q2, q3 = uvv[local[:, 0]], uvv[local[:, 1]], uvv[local[:, 2]]
+    area2d = (q2[:, 0] - q1[:, 0]) * (q3[:, 1] - q1[:, 1]) - (
+        q2[:, 1] - q1[:, 1]
+    ) * (q3[:, 0] - q1[:, 0])
+    tot = area2d.sum()
+    if tot < 0:  # globally mirrored: flip v
+        uvv[:, 1] = -uvv[:, 1]
+        area2d = -area2d
+        tot = -tot
+    if tot <= 1e-18 or (area2d[good] <= 0).mean() > 0.02:
+        return None
+    return uvv[local]  # [n_f, 3, 2]
+
+
+def smart_unwrap(v_pos: np.ndarray, faces: np.ndarray, padding: float = 0.01,
+                 method: str = "lscm"):
+    """Returns (v_tex [F*3,2], t_tex_idx [F,3]): per-chart LSCM conformal
+    parameterization (``method="lscm"``, default; orthographic dominant-axis
+    projection as fallback and as ``method="ortho"``), charts = connected
+    faces sharing a dominant normal axis+sign, rescaled to uniform texel
+    density (2D chart area == 3D chart area), shelf-packed into [0,1]^2."""
     F = faces.shape[0]
     v0, v1, v2 = v_pos[faces[:, 0]], v_pos[faces[:, 1]], v_pos[faces[:, 2]]
     fn = np.cross(v1 - v0, v2 - v0)
@@ -82,17 +190,33 @@ def smart_unwrap(v_pos: np.ndarray, faces: np.ndarray, padding: float = 0.01):
     rects = []  # (chart_id, w, h)
     for cid, fl in charts.items():
         fl = np.asarray(fl)
-        a = int(axis[fl[0]])
-        u_ax, v_ax = proj_axes[a]
-        tri = v_pos[faces[fl]]  # [n,3,3]
-        pu = tri[..., u_ax]
-        pv = tri[..., v_ax]
-        if sign[fl[0]] < 0:  # mirror to keep orientation
-            pu = -pu
-        lo_u, lo_v = pu.min(), pv.min()
-        uv[fl, :, 0] = pu - lo_u
-        uv[fl, :, 1] = pv - lo_v
-        rects.append((cid, float(uv[fl, :, 0].max()), float(uv[fl, :, 1].max())))
+        cf = faces[fl]
+        cuv = None
+        if method == "lscm":
+            cuv = _lscm_chart(v_pos, cf)
+        if cuv is None:  # ortho fallback (tiny/degenerate/failed charts)
+            a = int(axis[fl[0]])
+            u_ax, v_ax = proj_axes[a]
+            tri = v_pos[cf]  # [n,3,3]
+            pu = tri[..., u_ax]
+            pv = tri[..., v_ax]
+            if sign[fl[0]] < 0:  # mirror to keep orientation
+                pu = -pu
+            cuv = np.stack([pu, pv], axis=-1)
+        # uniform texel density: scale so 2D chart area == 3D chart area
+        tri3 = v_pos[cf]
+        a3 = 0.5 * np.linalg.norm(
+            np.cross(tri3[:, 1] - tri3[:, 0], tri3[:, 2] - tri3[:, 0]), axis=-1
+        ).sum()
+        a2d = 0.5 * np.abs(
+            (cuv[:, 1, 0] - cuv[:, 0, 0]) * (cuv[:, 2, 1] - cuv[:, 0, 1])
+            - (cuv[:, 1, 1] - cuv[:, 0, 1]) * (cuv[:, 2, 0] - cuv[:, 0, 0])
+        ).sum()
+        if a2d > 1e-18 and a3 > 0:
+            cuv = cuv * np.sqrt(a3 / a2d)
+        cuv = cuv - cuv.reshape(-1, 2).min(axis=0)
+        uv[fl] = cuv
+        rects.append((cid, float(cuv[..., 0].max()), float(cuv[..., 1].max())))
 
     # shelf packing by decreasing height
     rects.sort(key=lambda r: -r[2])
@@ -193,15 +317,21 @@ class MeshExporter(BaseObject):
 
         res = self.cfg.texture_size
         rast = rasterize_uv_texels(v_tex, t_tex_idx, res)
-        hit = np.asarray(rast["hit"])
-        face = np.maximum(np.asarray(rast["face"]), 0)
-        u = np.asarray(rast["u"])[:, None]
-        v = np.asarray(rast["v"])[:, None]
-        tris = faces[face]
+        # everything below stays ON DEVICE until the final uint8 maps: texel
+        # surface positions from the rast outputs (no face/u/v pulls), field
+        # query, material export, inpaint, 8-bit quantization. The device->
+        # host tunnel is slow (~6-40 MB/s) and large float pulls are the
+        # export's only real cost — the PNG/JPG writer quantizes to 8 bits
+        # anyway, so pulling f32 maps is 4x wasted traffic.
+        face = jnp.maximum(rast["face"], 0)
+        u = rast["u"][:, None]
+        v = rast["v"][:, None]
+        tris = jnp.asarray(faces)[face]
+        vp = jnp.asarray(v_pos)
         pos = (
-            (1 - u - v) * v_pos[tris[:, 0]]
-            + u * v_pos[tris[:, 1]]
-            + v * v_pos[tris[:, 2]]
+            (1 - u - v) * vp[tris[:, 0]]
+            + u * vp[tris[:, 1]]
+            + v * vp[tris[:, 2]]
         )
 
         # chunk the field query: 2048^2 texels in one hashgrid call OOMs a
@@ -209,22 +339,26 @@ class MeshExporter(BaseObject):
         from dreammat_tpu.utils.ops import chunk_batch
 
         feats = chunk_batch(
-            lambda p: self.geometry.apply(geo_params, p), 1 << 18, jnp.asarray(pos)
+            lambda p: self.geometry.apply(geo_params, p), 1 << 18, pos
         )
         maps = self.material.export(feats)
-        valid = jnp.asarray(hit).reshape(res, res)
-        albedo = inpaint_padding(maps["albedo"].reshape(res, res, 3), valid)
-        metallic = inpaint_padding(maps["metallic"].reshape(res, res, 1), valid)
-        roughness = inpaint_padding(maps["roughness"].reshape(res, res, 1), valid)
-        bump = None
-        if "bump" in maps:
-            bump = np.asarray(inpaint_padding(maps["bump"].reshape(res, res, 3), valid))
+        valid = rast["hit"].reshape(res, res)
+
+        def finish(img):
+            filled = inpaint_padding(img.reshape(res, res, -1), valid)
+            q = jnp.clip(filled, 0.0, 1.0) * 255.0 + 0.5
+            return np.asarray(q.astype(jnp.uint8))
+
+        albedo = finish(maps["albedo"])
+        metallic = finish(maps["metallic"])
+        roughness = finish(maps["roughness"])
+        bump = finish(maps["bump"]) if "bump" in maps else None
 
         return saving.save_obj_with_mtl(
             out_dir, self.cfg.save_name,
             v_pos, faces, v_tex, t_tex_idx, np.asarray(mesh.v_nrm),
-            albedo_map=np.asarray(albedo),
-            metallic_map=np.asarray(metallic)[..., 0],
-            roughness_map=np.asarray(roughness)[..., 0],
+            albedo_map=albedo,
+            metallic_map=metallic[..., 0],
+            roughness_map=roughness[..., 0],
             bump_map=bump,
         )

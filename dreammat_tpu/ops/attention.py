@@ -314,6 +314,15 @@ def attention(q, k, v, use_pallas: str = "auto"):
     if override:
         use_pallas = {"pallas": "always", "xla": "never"}.get(override, use_pallas)
     on_tpu = jax.default_backend() == "tpu"
-    if use_pallas == "never" or (use_pallas == "auto" and not on_tpu):
+    # The flash kernels keep the WHOLE K/V in VMEM per program, with the
+    # head dim padded to 128 lanes by Mosaic. Tiny head dims (toy/test
+    # configs) or very long sequences therefore blow scoped VMEM (seen:
+    # D=8, N=16384 -> 32 MB stack alloc) — and flash brings nothing at
+    # D < 64 anyway. Fall back to XLA's fused attention there.
+    D = q.shape[-1]
+    M = k.shape[1]
+    kv_vmem = 2 * M * max(D, 128) * 4  # bytes, f32 lanes-padded K+V
+    flash_ok = D >= 64 and kv_vmem <= (8 << 20)
+    if use_pallas == "never" or (use_pallas == "auto" and not (on_tpu and flash_ok)):
         return jax.nn.dot_product_attention(q, k, v)
     return _flash_attention_diff(q, k, v)

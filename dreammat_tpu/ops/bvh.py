@@ -771,8 +771,9 @@ def cast_rays_dense_pallas(
         [rays_o.astype(jnp.float32), rays_d.astype(jnp.float32),
          jnp.zeros((R, 2), jnp.float32)], axis=1,
     )
-    if padR:
-        rays = jnp.pad(rays, ((0, 0), (0, padR)))
+    if padR:  # pad ROWS (extra rays); d=0 rays can never hit (B==0 -> safe
+        # mask false), so padding lanes report miss
+        rays = jnp.pad(rays, ((0, padR), (0, 0)))
     Rp, Tp = R + padR, T + padT
 
     ray_aabb, tri_aabb = _tile_aabbs_for_cull(

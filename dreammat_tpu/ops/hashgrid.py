@@ -91,18 +91,20 @@ def _slab_gather(table_lvl: jnp.ndarray, idx_even: jnp.ndarray) -> jnp.ndarray:
     """Fetch corner PAIRS: rows (i, i+1) of [T, F] for each i in idx_even
     [P, C/2] -> [P, C, F] in corner order (x-bit fastest). The x-additive
     hash / row-major dense index guarantee the odd-x corner sits at i+1
-    (mod T — the table is padded with a copy of row 0 for the wrap)."""
+    (mod T — the table is padded with a copy of row 0 for the wrap).
+
+    Implemented as two single-row gathers: the fused slice_sizes=(2, F)
+    ``lax.gather`` is semantically identical but FAULTS the TPU worker on
+    the axon backend (async device crash surfacing at the next host pull;
+    bisected 2026-08-17) — do not reintroduce it without re-testing on
+    hardware. Consecutive-row pairs still help: the odd-corner gather hits
+    the cache line the even-corner gather just pulled."""
     T, F = table_lvl.shape
     padded = jnp.concatenate([table_lvl, table_lvl[:1]], axis=0)  # row T == row 0
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(2, 3), collapsed_slice_dims=(), start_index_map=(0,)
-    )
-    feats = jax.lax.gather(
-        padded, idx_even[..., None], dn, slice_sizes=(2, F),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )  # [P, C/2, 2, F]
+    f0 = padded[idx_even]      # [P, C/2, F]
+    f1 = padded[idx_even + 1]
     P = idx_even.shape[0]
-    return feats.reshape(P, -1, F)
+    return jnp.stack([f0, f1], axis=2).reshape(P, -1, F)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

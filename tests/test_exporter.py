@@ -79,3 +79,63 @@ def test_constant_field_bakes_constant_texture(tmp_path):
     valid = np.asarray(rast["hit"]).reshape(64, 64)
     assert abs(kd[valid].mean() - 0.5) < 0.03
     assert kd[valid].std() < 0.03
+
+
+def _unwrap_distortion(v_pos, faces, v_tex, t_tex_idx):
+    """Mean per-face conformal distortion: sigma_max/sigma_min of the 3D->UV
+    jacobian, area-weighted (1.0 = perfectly conformal)."""
+    tri3 = v_pos[faces]
+    uv = v_tex[t_tex_idx]
+    e1, e2 = tri3[:, 1] - tri3[:, 0], tri3[:, 2] - tri3[:, 0]
+    n = np.cross(e1, e2)
+    a3 = 0.5 * np.linalg.norm(n, axis=-1)
+    X = e1 / (np.linalg.norm(e1, axis=-1, keepdims=True) + 1e-18)
+    Z = n / (2 * a3[:, None] + 1e-18)
+    Y = np.cross(Z, X)
+    P = np.stack(
+        [np.einsum("fd,fcd->fc", X, tri3 - tri3[:, :1]),
+         np.einsum("fd,fcd->fc", Y, tri3 - tri3[:, :1])], axis=-1
+    )  # [F,3,2] local 2D coords
+    dist = []
+    w = []
+    for f in range(len(faces)):
+        A = np.stack([P[f, 1] - P[f, 0], P[f, 2] - P[f, 0]], axis=1)
+        B = np.stack([uv[f, 1] - uv[f, 0], uv[f, 2] - uv[f, 0]], axis=1)
+        if abs(np.linalg.det(A)) < 1e-18:
+            continue
+        J = B @ np.linalg.inv(A)
+        s = np.linalg.svd(J, compute_uv=False)
+        if s[1] < 1e-12:
+            continue
+        dist.append(s[0] / s[1])
+        w.append(a3[f])
+    return float(np.average(dist, weights=w))
+
+
+def test_lscm_unwrap_beats_ortho_distortion():
+    """LSCM charts must be closer to conformal than dominant-axis projection
+    on a curved surface (VERDICT r1 missing #8: xatlas-quality unwrap)."""
+    m = make_icosphere(2)
+    v, f = np.asarray(m.v_pos), np.asarray(m.t_pos_idx)
+    uv_l, ti_l = exp_lib.smart_unwrap(v, f, method="lscm")
+    uv_o, ti_o = exp_lib.smart_unwrap(v, f, method="ortho")
+    d_l = _unwrap_distortion(v, f, uv_l, ti_l)
+    d_o = _unwrap_distortion(v, f, uv_o, ti_o)
+    # ortho foreshortens 45-degree faces by ~1.41x; LSCM should be near 1
+    assert d_l < d_o, (d_l, d_o)
+    assert d_l < 1.15, d_l
+
+
+def test_lscm_unwrap_no_flips_and_in_bounds():
+    m = make_icosphere(3)
+    v, f = np.asarray(m.v_pos), np.asarray(m.t_pos_idx)
+    v_tex, t_tex_idx = exp_lib.smart_unwrap(v, f, method="lscm")
+    assert np.isfinite(v_tex).all()
+    assert v_tex.min() >= 0.0 and v_tex.max() <= 1.0
+    uv = v_tex[t_tex_idx]
+    area2 = (uv[:, 1, 0] - uv[:, 0, 0]) * (uv[:, 2, 1] - uv[:, 0, 1]) - (
+        uv[:, 1, 1] - uv[:, 0, 1]
+    ) * (uv[:, 2, 0] - uv[:, 0, 0])
+    # consistent orientation for (almost) all faces: the UV rasterizer
+    # attributes texels by first hit, flips would steal texels
+    assert (area2 > 0).mean() > 0.98 or (area2 < 0).mean() > 0.98

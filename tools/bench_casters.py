@@ -86,8 +86,11 @@ def main():
             same_hit = np.array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
             hit = np.asarray(a["hit"]) & np.asarray(b["hit"])
             dt_max = float(np.abs(np.asarray(a["t"]) - np.asarray(b["t"]))[hit].max()) if hit.any() else 0.0
+            n_bad = int((np.abs(np.asarray(a["t"]) - np.asarray(b["t"]))[hit] > 1e-3).sum()) if hit.any() else 0
             print(json.dumps({"check": "pallas_vs_plane", "tris": T,
-                              "same_hit": bool(same_hit), "t_max_err": dt_max}),
+                              "same_hit": bool(same_hit), "t_max_err": dt_max,
+                              "rays_off": n_bad,
+                              "ok": bool(same_hit and n_bad <= 2)}),
                   flush=True)
 
 
