@@ -65,8 +65,11 @@ class RandomCameraDataModule(BaseObject):
         fastpath_check: bool = False
         fastpath_rmse_threshold: float = 0.08
         # precompute per-view sort maps so the field backward is scatter-free
-        # (~14x faster table grads on TPU); costs ~100 MB HBM per view
+        # (~14x faster table grads on TPU); costs ~100-180 MB HBM per view,
+        # so only the first `static_maps_budget_mb` worth of views are
+        # cached — the rest fall back to the dynamic scatter backward
         static_field_maps: bool = True
+        static_maps_budget_mb: int = 6144
         prerender_cache_dir: Optional[str] = ".dreammat_tpu_cache/prerender"
         pixel_budget: int = 0
         seed: int = 0
@@ -148,15 +151,45 @@ class RandomCameraDataModule(BaseObject):
 
             _t0 = _time.time()
             key = jax.random.PRNGKey(cfg.seed + 7)
+            budget = int(cfg.static_maps_budget_mb) << 20
+            spent = 0
+            n_built = 0
             for v in range(cfg.fix_view_num):
-                self._enc_maps[v] = self.renderer.build_enc_maps(
+                maps = self.renderer.build_enc_maps(
                     self.data.gbuffers[v], jax.random.fold_in(key, v)
                 )
-            if self._enc_maps[0] is not None:
-                jax.block_until_ready(self._enc_maps[-1][0].perm)
+                if maps is not None:
+                    spent += sum(
+                        a.size * a.dtype.itemsize
+                        for m in maps
+                        for a in jax.tree_util.tree_leaves(m)
+                    )
+                    # cache maps only while they fit the HBM budget: at
+                    # flagship scale (512^2 x 16 levels) each view's maps
+                    # are ~180 MB, so 128 views can NOT be device-resident
+                    # (measured RESOURCE_EXHAUSTED). Views beyond the
+                    # budget run the dynamic scatter backward instead —
+                    # slower per step but correct; the jitted step already
+                    # dispatches on enc_maps None/not-None per batch.
+                    if spent > budget and n_built > 0:
+                        jax.block_until_ready(maps[0].perm)
+                        del maps
+                        dreammat_tpu.info(
+                            "static field maps: budget %d MB reached after "
+                            "%d/%d views; remaining views use the dynamic "
+                            "field backward",
+                            cfg.static_maps_budget_mb, n_built,
+                            cfg.fix_view_num,
+                        )
+                        break
+                    self._enc_maps[v] = maps
+                    n_built += 1
+            if n_built and self._enc_maps[n_built - 1] is not None:
+                jax.block_until_ready(self._enc_maps[n_built - 1][0].perm)
                 dreammat_tpu.info(
-                    "static field maps for %d views in %.1fs",
-                    cfg.fix_view_num, _time.time() - _t0,
+                    "static field maps for %d/%d views (%.0f MB) in %.1fs",
+                    n_built, cfg.fix_view_num, spent / 1e6,
+                    _time.time() - _t0,
                 )
 
     # ------------------------------------------------------------------
