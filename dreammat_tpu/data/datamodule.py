@@ -53,6 +53,11 @@ class RandomCameraDataModule(BaseObject):
         # random-camera mode (use_fix_views=false): progressive widening of
         # the sampled ranges (reference uncond.py:125-133)
         progressive_until: int = 0
+        # point-light sampling for volume (rays-only) systems
+        # (reference uncond.py:55-60, 239-262)
+        light_sample_strategy: str = "dreamfusion"
+        light_distance_range: Tuple[float, float] = (0.8, 1.5)
+        light_position_perturb: float = 1.0
         blender_generate: bool = False  # parity knob; True = ingest PNG cache
         reference_cache_dir: Optional[str] = None
         fix_view_num: int = 128
@@ -66,10 +71,19 @@ class RandomCameraDataModule(BaseObject):
         fastpath_rmse_threshold: float = 0.08
         # precompute per-view sort maps so the field backward is scatter-free
         # (~14x faster table grads on TPU); costs ~100-180 MB HBM per view,
-        # so only the first `static_maps_budget_mb` worth of views are
-        # cached — the rest fall back to the dynamic scatter backward
+        # so only `static_maps_budget_mb` worth of views are device-resident
+        # at a time
         static_field_maps: bool = True
         static_maps_budget_mb: int = 6144
+        # when the budget covers only a subset of views, rotate the resident
+        # window: every `static_maps_rotate` steps the oldest resident
+        # view's maps are evicted and the next view's are built (the jitted
+        # build is cheap), and batches sample views from the resident
+        # window. Long-run view coverage stays uniform (the window cycles
+        # through all views); steps are merely time-correlated, which SDS
+        # tolerates. 0 = no rotation: non-resident views use the dynamic
+        # scatter backward (~2.5x slower steps at flagship scale).
+        static_maps_rotate: int = 8
         prerender_cache_dir: Optional[str] = ".dreammat_tpu_cache/prerender"
         pixel_budget: int = 0
         seed: int = 0
@@ -94,6 +108,7 @@ class RandomCameraDataModule(BaseObject):
         )
         self.rng = np.random.RandomState(cfg.seed + 1)
         self.data: Optional[prerender_lib.PrerenderData] = None
+        self._rays_only = False
 
     def setup(self) -> None:
         """Run (or load) the prerender. Reference: dataset __init__
@@ -103,6 +118,12 @@ class RandomCameraDataModule(BaseObject):
         22-channel condition stack, and light table on demand."""
         cfg = self.cfg
         assert self.renderer is not None and self.material is not None
+        if getattr(self.renderer, "is_volume", False):
+            # volume systems (dreamfusion family): no mesh, no prerender —
+            # per-step batches are camera rays + a sampled point light
+            # (reference RandomCameraIterableDataset, uncond.py:66-338)
+            self._rays_only = True
+            return
         if not cfg.use_fix_views:
             self._setup_random()
             return
@@ -146,51 +167,73 @@ class RandomCameraDataModule(BaseObject):
         # hottest train-step op on TPU — see ops/hashgrid.py view-static
         # encode). Built once per view; jitter fixed per view by default.
         self._enc_maps = [None] * cfg.fix_view_num
+        self._maps_resident: List[int] = []
+        self._maps_next_view = 0
+        self._maps_step_ctr = 0
         if cfg.static_field_maps and hasattr(self.renderer, "build_enc_maps"):
             import time as _time
 
             _t0 = _time.time()
-            key = jax.random.PRNGKey(cfg.seed + 7)
+            self._maps_key = jax.random.PRNGKey(cfg.seed + 7)
             budget = int(cfg.static_maps_budget_mb) << 20
             spent = 0
-            n_built = 0
             for v in range(cfg.fix_view_num):
                 maps = self.renderer.build_enc_maps(
-                    self.data.gbuffers[v], jax.random.fold_in(key, v)
+                    self.data.gbuffers[v],
+                    jax.random.fold_in(self._maps_key, v),
                 )
-                if maps is not None:
-                    spent += sum(
-                        a.size * a.dtype.itemsize
-                        for m in maps
-                        for a in jax.tree_util.tree_leaves(m)
+                if maps is None:
+                    break  # per-step jitter config: no static maps at all
+                spent += sum(
+                    a.size * a.dtype.itemsize
+                    for m in maps
+                    for a in jax.tree_util.tree_leaves(m)
+                )
+                # keep maps resident only while they fit the HBM budget: at
+                # flagship scale (512^2 x 16 levels) each view's maps are
+                # ~180 MB, so 128 views can NOT all be device-resident
+                # (measured RESOURCE_EXHAUSTED). Remaining views join the
+                # rotation (collate) or, with rotation off, run the dynamic
+                # scatter backward — the jitted step dispatches on enc_maps
+                # None/not-None per batch.
+                if spent > budget and self._maps_resident:
+                    jax.block_until_ready(maps[0].perm)
+                    del maps
+                    dreammat_tpu.info(
+                        "static field maps: budget %d MB reached after "
+                        "%d/%d views; %s",
+                        cfg.static_maps_budget_mb, len(self._maps_resident),
+                        cfg.fix_view_num,
+                        "rotating the resident window every %d steps"
+                        % cfg.static_maps_rotate if cfg.static_maps_rotate
+                        else "remaining views use the dynamic field backward",
                     )
-                    # cache maps only while they fit the HBM budget: at
-                    # flagship scale (512^2 x 16 levels) each view's maps
-                    # are ~180 MB, so 128 views can NOT be device-resident
-                    # (measured RESOURCE_EXHAUSTED). Views beyond the
-                    # budget run the dynamic scatter backward instead —
-                    # slower per step but correct; the jitted step already
-                    # dispatches on enc_maps None/not-None per batch.
-                    if spent > budget and n_built > 0:
-                        jax.block_until_ready(maps[0].perm)
-                        del maps
-                        dreammat_tpu.info(
-                            "static field maps: budget %d MB reached after "
-                            "%d/%d views; remaining views use the dynamic "
-                            "field backward",
-                            cfg.static_maps_budget_mb, n_built,
-                            cfg.fix_view_num,
-                        )
-                        break
-                    self._enc_maps[v] = maps
-                    n_built += 1
-            if n_built and self._enc_maps[n_built - 1] is not None:
-                jax.block_until_ready(self._enc_maps[n_built - 1][0].perm)
+                    break
+                self._enc_maps[v] = maps
+                self._maps_resident.append(v)
+            n_built = len(self._maps_resident)
+            self._maps_next_view = n_built % cfg.fix_view_num
+            if n_built:
+                jax.block_until_ready(self._enc_maps[self._maps_resident[-1]][0].perm)
                 dreammat_tpu.info(
                     "static field maps for %d/%d views (%.0f MB) in %.1fs",
                     n_built, cfg.fix_view_num, spent / 1e6,
                     _time.time() - _t0,
                 )
+
+    def _rotate_static_maps(self) -> None:
+        """Slide the resident static-maps window by one view: evict the
+        oldest view's maps and build the next non-resident view's. Called
+        from collate() every cfg.static_maps_rotate steps when the HBM
+        budget covers only a subset of views."""
+        old = self._maps_resident.pop(0)
+        self._enc_maps[old] = None  # refcount drop frees the ~180 MB now
+        v = self._maps_next_view
+        self._enc_maps[v] = self.renderer.build_enc_maps(
+            self.data.gbuffers[v], jax.random.fold_in(self._maps_key, v)
+        )
+        self._maps_resident.append(v)
+        self._maps_next_view = (v + 1) % self.cfg.fix_view_num
 
     # ------------------------------------------------------------------
     def _setup_random(self) -> None:
@@ -225,15 +268,11 @@ class RandomCameraDataModule(BaseObject):
             "random-camera mode: pixel budget %d, mesh bakes ready", budget
         )
 
-    def _collate_random(self, step: int) -> Dict[str, Any]:
-        """Per-step sampled camera (reference RandomCameraIterableDataset
+    def _sample_camera(self, step: int) -> Dict[str, Any]:
+        """Per-step random camera (reference RandomCameraIterableDataset
         .collate, uncond.py:138-338): 50/50 uniform-in-degrees / uniform-on-
-        sphere elevation, (batch-)uniform azimuth, uniform distance+fovy,
-        camera/center/up perturbs, progressive range widening — then the
-        G-buffer, 22-ch condition stack, and per-vertex light table are
-        rendered ON DEVICE for that camera (the reference cannot produce
-        light probes for random cameras at all; here the shadowed-radiance
-        cache makes them one convolution bake)."""
+        sphere elevation, uniform azimuth/distance/fovy, camera/center/up
+        perturbs, progressive range widening."""
         cfg = self.cfg
         rng = self.rng
         # progressive view (uncond.py:125-133)
@@ -260,7 +299,6 @@ class RandomCameraDataModule(BaseObject):
             + cfg.camera_distance_range[0]
         )
         fovy_deg = rng.rand() * (cfg.fovy_range[1] - cfg.fovy_range[0]) + cfg.fovy_range[0]
-        env_id = int(rng.randint(0, cfg.fix_env_num))
 
         pos = np.asarray(uops.camera_position_from_spherical(
             float(elevation), float(azimuth), float(dist)
@@ -278,6 +316,85 @@ class RandomCameraDataModule(BaseObject):
         focal = 0.5 * cfg.height / np.tan(0.5 * np.deg2rad(fovy_deg))
         dirs = uops.get_ray_directions(cfg.height, cfg.width, focal=float(focal))
         rays_o, rays_d = uops.get_rays(dirs, c2w, keepdim=True)
+        return {
+            "elevation": elevation, "azimuth": azimuth, "dist": dist,
+            "fovy_deg": fovy_deg, "pos": pos, "c2w": c2w, "w2c": w2c,
+            "rays_o": rays_o, "rays_d": rays_d,
+        }
+
+    def _sample_light(self, cam_pos: np.ndarray) -> np.ndarray:
+        """Point-light position for volume shading (uncond.py:239-262)."""
+        cfg = self.cfg
+        rng = self.rng
+        d = (
+            rng.rand() * (cfg.light_distance_range[1] - cfg.light_distance_range[0])
+            + cfg.light_distance_range[0]
+        )
+        if cfg.light_sample_strategy == "dreamfusion":
+            # direction ~ camera position + gaussian perturb (uncond.py:246-252)
+            v = cam_pos + rng.randn(3) * cfg.light_position_perturb
+        elif cfg.light_sample_strategy == "magic3d":
+            # sample on the upper hemisphere around the camera azimuth
+            # (uncond.py:253-270 semantics: front-ish upper lights)
+            v = cam_pos + np.asarray([0.0, 0.0, 1.0]) * np.linalg.norm(cam_pos)
+            v = v + rng.randn(3) * cfg.light_position_perturb
+        else:
+            raise ValueError(
+                f"unknown light_sample_strategy {cfg.light_sample_strategy}"
+            )
+        return (v / (np.linalg.norm(v) + 1e-8)) * d
+
+    def _collate_rays(self, step: int) -> Dict[str, Any]:
+        """Volume-system batch: camera rays + point light, no G-buffer."""
+        cam = self._sample_camera(step)
+        light_pos = self._sample_light(cam["pos"])
+        n = self.cfg.height * self.cfg.width
+        return {
+            "view_id": -1,
+            "env_id": jnp.int32(0),
+            "rays_o": cam["rays_o"].reshape(-1, 3),
+            "rays_d": cam["rays_d"].reshape(-1, 3),
+            "light_positions": jnp.broadcast_to(
+                jnp.asarray(light_pos, jnp.float32)[None], (n, 3)
+            ),
+            "height": self.cfg.height,
+            "width": self.cfg.width,
+            "elevation": jnp.asarray([cam["elevation"]], jnp.float32),
+            "azimuth": jnp.asarray([cam["azimuth"]], jnp.float32),
+            "camera_distances": jnp.asarray([cam["dist"]], jnp.float32),
+        }
+
+    def eval_rays(self, i: int) -> Dict[str, Any]:
+        """Eval-circle rays for volume systems (light at the camera)."""
+        cfg = self.cfg
+        cd = cam_lib.camera_rays_and_matrices(
+            self.eval_cameras, i, cfg.eval_height, cfg.eval_width
+        )
+        cam_pos = np.asarray(cd["camera_position"]).reshape(3)
+        return {
+            "rays_o": cd["rays_o"],
+            "rays_d": cd["rays_d"],
+            "light_position": jnp.asarray(cam_pos, jnp.float32),
+            "elevation": jnp.asarray([self.eval_cameras.elevation_deg[i]]),
+            "azimuth": jnp.asarray([self.eval_cameras.azimuth_deg[i]]),
+        }
+
+    def _collate_random(self, step: int) -> Dict[str, Any]:
+        """Per-step sampled camera (reference RandomCameraIterableDataset
+        .collate, uncond.py:138-338): 50/50 uniform-in-degrees / uniform-on-
+        sphere elevation, (batch-)uniform azimuth, uniform distance+fovy,
+        camera/center/up perturbs, progressive range widening — then the
+        G-buffer, 22-ch condition stack, and per-vertex light table are
+        rendered ON DEVICE for that camera (the reference cannot produce
+        light probes for random cameras at all; here the shadowed-radiance
+        cache makes them one convolution bake)."""
+        cfg = self.cfg
+        cam = self._sample_camera(step)
+        rays_o, rays_d, w2c = cam["rays_o"], cam["rays_d"], cam["w2c"]
+        elevation, azimuth, dist, pos = (
+            cam["elevation"], cam["azimuth"], cam["dist"], cam["pos"]
+        )
+        env_id = int(self.rng.randint(0, cfg.fix_env_num))
 
         gb = self.renderer.build_gbuffer_from_rays(
             rays_o, rays_d, w2c, pixel_budget=self._random_budget
@@ -320,10 +437,26 @@ class RandomCameraDataModule(BaseObject):
         """One training batch: random fixed view + random env
         (uncond.py:723-821). batch_size=1 on the DreamMat path."""
         cfg = self.cfg
+        if self._rays_only:
+            return self._collate_rays(step)
         if not cfg.use_fix_views:
             return self._collate_random(step)
         assert self.data is not None, "call setup() first"
-        view_id = int(self.rng.randint(0, cfg.fix_view_num))
+        rotating = (
+            cfg.static_maps_rotate > 0
+            and 0 < len(self._maps_resident) < cfg.fix_view_num
+        )
+        if rotating:
+            self._maps_step_ctr += 1
+            if self._maps_step_ctr % cfg.static_maps_rotate == 0:
+                self._rotate_static_maps()
+            # sample within the resident window so every step takes the
+            # scatter-free fast path; the window cycles through all views
+            view_id = self._maps_resident[
+                int(self.rng.randint(0, len(self._maps_resident)))
+            ]
+        else:
+            view_id = int(self.rng.randint(0, cfg.fix_view_num))
         env_id = int(self.rng.randint(0, cfg.fix_env_num))
         # condition stack + light table assembled by DEVICE slicing — the
         # prerender outputs are device-resident (host<->device copies per

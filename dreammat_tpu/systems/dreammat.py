@@ -154,6 +154,21 @@ class DreamMat(BaseObject):
 
         return jax.jit(train_step)
 
+    def on_train_batch_start(self, state, it: int, rng: jax.Array):
+        """Per-step state hook before the jitted step (reference
+        Updateable.do_update_step, base.py:174-178). Base: no-op."""
+        return state
+
+    def _apply_train_step(self, state, batch, rng):
+        """Maps a collated batch onto the jitted train step's signature —
+        the one system-specific seam in the shared fit loop."""
+        return self._train_step_fn(
+            state, self.guidance.params, batch["gbuffer"], batch["condition_map"],
+            batch["env_id"], batch["elevation"], batch["azimuth"],
+            batch["camera_distances"], rng, batch.get("light_table"),
+            batch.get("enc_maps"),
+        )
+
     def make_render_fn(self):
         renderer = self.renderer
 
@@ -213,12 +228,8 @@ class DreamMat(BaseObject):
         for it in range(start_step, max_steps):
             batch = datamodule.collate(step=it)
             rng, k = jax.random.split(rng)
-            state, metrics = self._train_step_fn(
-                state, self.guidance.params, batch["gbuffer"], batch["condition_map"],
-                batch["env_id"], batch["elevation"], batch["azimuth"],
-                batch["camera_distances"], k, batch.get("light_table"),
-                batch.get("enc_maps"),
-            )
+            state = self.on_train_batch_start(state, it, k)
+            state, metrics = self._apply_train_step(state, batch, k)
             if t_warm is None:
                 jax.block_until_ready(metrics["loss"])
                 t_warm = time.time()
@@ -229,7 +240,8 @@ class DreamMat(BaseObject):
                 sps = warm_steps / max(time.time() - t_warm, 1e-6) if warm_steps > 0 else 0.0
                 dreammat_tpu.info(
                     "step %d loss=%.4f sds=%.4f reg=%.5f (%.2f it/s warm)",
-                    it + 1, m["loss"], m["loss_sds"], m["loss_mat_reg"], sps,
+                    it + 1, m["loss"], m.get("loss_sds", 0.0),
+                    m.get("loss_mat_reg", 0.0), sps,
                 )
                 metric_logger.log({**m, "it_per_sec": sps}, it + 1)
                 progress.update(it + 1, max_steps)

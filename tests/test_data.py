@@ -232,3 +232,52 @@ def test_fastpath_check_and_fallback():
     )
     dm2.setup()
     assert dm2.data.table_spec is None  # impossible threshold -> fallback
+
+
+def test_static_maps_rotation():
+    """HBM budget smaller than one view's maps -> resident window of one
+    view that rotates through all views; every batch still carries enc_maps
+    (the scatter-free fast path) and long-run view coverage is complete."""
+    geo = dreammat_tpu.find("dreammat-mesh")(
+        {
+            "shape_init": "procedural:sphere",
+            "pos_encoding_config": {
+                "otype": "HashGrid", "n_levels": 2, "n_features_per_level": 2,
+                "log2_hashmap_size": 8, "base_resolution": 4, "per_level_scale": 1.5,
+            },
+        }
+    )
+    geo.set_mesh(make_icosphere(1))
+    mat = dreammat_tpu.find("dreammat-material")(
+        {
+            "environment_texture": "/nonexistent", "n_environments": 1,
+            "env_height": 16, "env_width": 32,
+            "diffuse_sample_num": 8, "specular_sample_num": 4,
+        }
+    )
+    bg = dreammat_tpu.find("solid-color-background")({})
+    ren = dreammat_tpu.find("raytracing-renderer")({}, geo, mat, bg)
+    dm = dreammat_tpu.find("random-camera-datamodule")(
+        {
+            "width": 24, "height": 24, "fix_view_num": 4, "fix_env_num": 1,
+            "cond_height": 24, "cond_width": 24, "prerender_cache_dir": None,
+            "static_maps_budget_mb": 0, "static_maps_rotate": 2,
+        },
+        ren, mat,
+    )
+    dm.setup()
+    assert dm._maps_resident == [0]  # budget 0 keeps exactly one view
+
+    seen = set()
+    for step in range(16):
+        resident_before = list(dm._maps_resident)
+        b = dm.collate(step=step)
+        assert b["enc_maps"] is not None  # every step on the fast path
+        assert len(dm._maps_resident) == 1  # window size holds
+        assert b["view_id"] in resident_before + dm._maps_resident
+        seen.add(b["view_id"])
+        # evicted views must have their maps freed
+        for v in range(4):
+            if v not in dm._maps_resident:
+                assert dm._enc_maps[v] is None
+    assert seen == {0, 1, 2, 3}  # the window cycled through every view
