@@ -117,10 +117,11 @@ class RandomCameraDataModule(BaseObject):
         mesh-wide bakes run here — per-step cameras render their G-buffer,
         22-channel condition stack, and light table on demand."""
         cfg = self.cfg
-        assert self.renderer is not None and self.material is not None
-        if getattr(self.renderer, "is_volume", False):
-            # volume systems (dreamfusion family): no mesh, no prerender —
-            # per-step batches are camera rays + a sampled point light
+        if self.renderer is None or getattr(self.renderer, "is_volume", False):
+            # volume systems (dreamfusion family) and standalone use (no
+            # renderer, e.g. as the embedded random-camera module of the
+            # single-image datamodule): no mesh, no prerender — per-step
+            # batches are camera rays + a sampled point light
             # (reference RandomCameraIterableDataset, uncond.py:66-338)
             self._rays_only = True
             return
@@ -352,6 +353,7 @@ class RandomCameraDataModule(BaseObject):
         return {
             "view_id": -1,
             "env_id": jnp.int32(0),
+            "c2w": jnp.asarray(cam["c2w"], jnp.float32).reshape(1, 4, 4),
             "rays_o": cam["rays_o"].reshape(-1, 3),
             "rays_d": cam["rays_d"].reshape(-1, 3),
             "light_positions": jnp.broadcast_to(

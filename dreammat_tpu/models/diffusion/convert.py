@@ -27,7 +27,32 @@ import numpy as np
 _PROTECTED = ("linear_1", "linear_2", "to_out_0_x")  # to_out handled below
 
 
+def _t5_key(path: Tuple[str, ...]) -> str:
+    """Our flax T5Encoder tree -> HF T5EncoderModel keys (t5.py layout:
+    raw-param RMSNorm scales, shared relative_attention_bias at the top)."""
+    if path == ("token_embedding", "embedding"):
+        return "shared.weight"
+    if path == ("relative_attention_bias",):
+        return "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+    if path == ("final_layer_norm",):
+        return "encoder.final_layer_norm.weight"
+    m = re.match(r"block_(\d+)", path[0])
+    if m:
+        n, rest = m.group(1), path[1:]
+        if rest == ("attn_layer_norm",):
+            return f"encoder.block.{n}.layer.0.layer_norm.weight"
+        if rest == ("ff_layer_norm",):
+            return f"encoder.block.{n}.layer.1.layer_norm.weight"
+        if rest[0] == "attention":
+            return f"encoder.block.{n}.layer.0.SelfAttention.{rest[1]}.weight"
+        if rest[0] in ("wi_0", "wi_1", "wo"):
+            return f"encoder.block.{n}.layer.1.DenseReluDense.{rest[0]}.weight"
+    raise KeyError(f"unmapped t5 path {path}")
+
+
 def _flax_path_to_torch_key(path: Tuple[str, ...], model_type: str) -> str:
+    if model_type == "t5":
+        return _t5_key(path)
     *mods, leaf = path
     if model_type == "clip" and leaf == "position_embedding" and not mods:
         return "text_model.embeddings.position_embedding.weight"

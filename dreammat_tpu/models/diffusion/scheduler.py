@@ -32,6 +32,16 @@ def make_schedule(cfg: SchedulerConfig = SchedulerConfig()):
         )
     elif cfg.beta_schedule == "linear":
         betas = np.linspace(cfg.beta_start, cfg.beta_end, cfg.num_train_timesteps)
+    elif cfg.beta_schedule == "squaredcos_cap_v2":
+        # cosine schedule (diffusers betas_for_alpha_bar) — DeepFloyd-IF's
+        # DDPMScheduler config
+        T = cfg.num_train_timesteps
+
+        def abar(s):
+            return np.cos((s + 0.008) / 1.008 * np.pi / 2) ** 2
+
+        i = np.arange(T, dtype=np.float64)
+        betas = np.minimum(1.0 - abar((i + 1) / T) / abar(i / T), 0.999)
     else:
         raise ValueError(cfg.beta_schedule)
     alphas = 1.0 - betas

@@ -133,6 +133,7 @@ class UNet2DCondition(nn.Module):
         context: jnp.ndarray,
         down_block_additional_residuals: Optional[Sequence[jnp.ndarray]] = None,
         mid_block_additional_residual: Optional[jnp.ndarray] = None,
+        class_labels: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         cfg = self.cfg
         ch0 = cfg.block_out_channels[0]
@@ -141,6 +142,14 @@ class UNet2DCondition(nn.Module):
             downscale_freq_shift=cfg.freq_shift,
         ).astype(self.dtype)
         temb = L.TimestepEmbedding(ch0 * 4, dtype=self.dtype, name="time_embedding")(temb)
+        if class_labels is not None:
+            # camera-conditioned class embedding (diffusers class_embedding
+            # slot; VSD guidance feeds a flattened c2w — reference
+            # stable_diffusion_vsd_guidance.py:154-158). Params are created
+            # lazily, so checkpoints without it stay compatible.
+            temb = temb + L.TimestepEmbedding(
+                ch0 * 4, dtype=self.dtype, name="class_embedding"
+            )(class_labels.astype(self.dtype))
 
         x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(sample.astype(self.dtype))
         skips = [x]

@@ -126,3 +126,15 @@ class DreamMatMesh(BaseObject):
 
     def export(self, params: Dict[str, Any], points: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         return {"features": self.apply(params, points)}
+
+
+@dreammat_tpu.register("custom-mesh")
+class CustomMesh(DreamMatMesh):
+    """Fixed user mesh + trainable feature field.
+
+    The reference's ``custom-mesh``
+    (/root/reference/threestudio_dreammat/threestudio/models/geometry/
+    custom_mesh.py:22-192) is exactly this framework's DreamMat mesh
+    geometry — a loaded, normalized triangle mesh with a hashgrid+MLP
+    feature field queried at surface points — so it registers as an alias
+    (same loaders replace the reference's trimesh dependency)."""

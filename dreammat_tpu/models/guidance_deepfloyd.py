@@ -1,0 +1,207 @@
+"""DeepFloyd-IF guidance: pixel-space SDS at 64x64.
+
+TPU-native rebuild of ``deep-floyd-guidance``
+(/root/reference/threestudio_dreammat/threestudio/models/guidance/
+deep_floyd_guidance.py:18-300): no VAE — the rendered RGB itself (resized
+to 64x64, scaled to [-1, 1]) is the diffusion variable; the UNet predicts
+6 channels (eps + learned variance, :206-215) and only the eps half drives
+SDS. Cosine (squaredcos_cap_v2) noise schedule, T5 text conditioning
+(``deep-floyd-prompt-processor``), perp-neg branch with 4 replicas
+(:156-190), three w(t) strategies (:230-244).
+
+Architecture note: the IF UNet uses diffusers' ``UNet2DConditionModel``
+variant with simple-cross-attention blocks and scale-shift time
+conditioning; this build uses the framework's standard cross-attention
+UNet blocks at matching widths/context (``if_like()``). SDS behavior is
+equivalent; real IF checkpoint ingestion would additionally need the
+simple-attn key mapping (documented gap — no IF weights ship here).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+import dreammat_tpu
+from dreammat_tpu.models.diffusion import convert
+from dreammat_tpu.models.diffusion.scheduler import (
+    SchedulerConfig, add_noise, make_schedule,
+)
+from dreammat_tpu.models.diffusion.unet import UNet2DCondition, UNetConfig
+from dreammat_tpu.utils.base import BaseObject
+from dreammat_tpu.utils.ops import perpendicular_component
+from dreammat_tpu.utils.schedule import C_jax
+
+
+def if_like_unet_config() -> UNetConfig:
+    """IF-I-XL-shaped UNet on the framework's standard blocks: 3-ch pixel
+    input, 6-ch output (eps + variance), T5-XXL context (4096)."""
+    return replace(
+        UNetConfig.sd21(),
+        in_channels=3,
+        out_channels=6,
+        cross_attention_dim=4096,
+        use_linear_projection=False,
+    )
+
+
+@dreammat_tpu.register("deep-floyd-guidance")
+class DeepFloydGuidance(BaseObject):
+    @dataclass
+    class Config:
+        pretrained_model_name_or_path: str = "DeepFloyd/IF-I-XL-v1.0"
+        cache_dir: Optional[str] = "model/deepfloyd"
+        guidance_scale: float = 20.0
+        grad_clip: Optional[Any] = None
+        half_precision_weights: bool = True
+        min_step_percent: Any = 0.02
+        max_step_percent: Any = 0.98
+        weighting_strategy: str = "sds"
+        view_dependent_prompting: bool = True
+        model_size: str = "if"  # "if" | "tiny" (tests / CI)
+        resolution: int = 64
+        # reference config parity (no-ops on TPU):
+        enable_memory_efficient_attention: bool = False
+        enable_sequential_cpu_offload: bool = False
+        enable_attention_slicing: bool = False
+        enable_channels_last_format: bool = True
+        max_items_eval: int = 4
+
+    cfg: Config
+
+    def configure(self) -> None:
+        cfg = self.cfg
+        self.dtype = jnp.bfloat16 if cfg.half_precision_weights else jnp.float32
+        if cfg.model_size == "tiny":
+            self.unet_cfg = replace(
+                UNetConfig.tiny(), in_channels=3, out_channels=6
+            )
+        else:
+            self.unet_cfg = if_like_unet_config()
+        self.unet = UNet2DCondition(self.unet_cfg, dtype=self.dtype)
+        # IF's DDPMScheduler: cosine betas over 1000 steps
+        sc = SchedulerConfig(beta_schedule="squaredcos_cap_v2")
+        self.schedule = make_schedule(sc)
+        self.num_train_timesteps = sc.num_train_timesteps
+        self.params: Optional[Dict[str, Any]] = None
+
+    def init_params(self, rng: jax.Array, latent_hw=None) -> Dict[str, Any]:
+        cfg = self.cfg
+        R = cfg.resolution
+        cross = self.unet_cfg.cross_attention_dim
+        params = {
+            "unet": convert.fast_random_init(
+                rng, lambda: self.unet.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, R, R, 3)),
+                    jnp.zeros((1,)), jnp.zeros((1, 4, cross)),
+                )
+            )
+        }
+        import os
+
+        if cfg.cache_dir and os.path.isdir(str(cfg.cache_dir)):
+            d = os.path.join(cfg.cache_dir, "unet")
+            ckpt = convert.find_checkpoint_file(d) if os.path.isdir(d) else None
+            if ckpt:
+                sd = convert.load_torch_state_dict(ckpt)
+                params["unet"] = convert.torch_to_flax_params(
+                    sd, params["unet"], "unet", strict=False
+                )
+                dreammat_tpu.info("loaded IF unet weights from %s", ckpt)
+        self.params = params
+        return params
+
+    def _weight(self, t):
+        a = self.schedule["alphas_cumprod"][t].reshape(-1, 1, 1, 1)
+        ws = self.cfg.weighting_strategy
+        if ws == "sds":
+            return 1.0 - a
+        if ws == "uniform":
+            return jnp.ones_like(a)
+        if ws == "fantasia3d":
+            return jnp.sqrt(a) * (1.0 - a)
+        raise ValueError(f"Unknown weighting strategy: {ws}")
+
+    def _eps(self, params, x, t, emb, n_rep):
+        """UNet forward on n_rep CFG replicas; keep only the eps half of
+        the 6-channel output (:206-215)."""
+        x_in = jnp.concatenate([x] * n_rep, axis=0)
+        t_in = jnp.concatenate([t] * n_rep, axis=0)
+        out = self.unet.apply(params["unet"], x_in, t_in, emb).astype(jnp.float32)
+        return out[..., :3]
+
+    def __call__(
+        self,
+        params: Dict,
+        rgb: jnp.ndarray,          # [B,H,W,3] in [0,1]
+        prompt_utils,
+        elevation: jnp.ndarray,
+        azimuth: jnp.ndarray,
+        camera_distances: jnp.ndarray,
+        step=0,
+        rng: jax.Array = None,
+        rgb_as_latents: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        if rgb_as_latents:
+            raise ValueError("deep-floyd has no latent space (:141)")
+        B = rgb.shape[0]
+        R = cfg.resolution
+        k_t, k_noise = jax.random.split(rng)
+
+        latents = jax.image.resize(rgb, (B, R, R, 3), method="linear") * 2.0 - 1.0
+
+        min_pct = C_jax(cfg.min_step_percent, step)
+        max_pct = C_jax(cfg.max_step_percent, step)
+        min_step = jnp.round(self.num_train_timesteps * min_pct).astype(jnp.int32)
+        max_step = jnp.round(self.num_train_timesteps * max_pct).astype(jnp.int32)
+        u = jax.random.uniform(k_t, (B,))
+        t = (min_step + u * (max_step - min_step + 1).astype(jnp.float32)).astype(jnp.int32)
+        t = jnp.clip(t, 0, self.num_train_timesteps - 1)
+
+        noise = jax.random.normal(k_noise, latents.shape)
+        latents_noisy = add_noise(self.schedule, latents, noise, t)
+
+        sg = jax.lax.stop_gradient
+        g = cfg.guidance_scale
+        if prompt_utils.use_perp_neg:
+            emb, neg_w = prompt_utils.get_text_embeddings_perp_neg(
+                elevation, azimuth, camera_distances, return_null=False
+            )
+            eps = sg(self._eps(params, latents_noisy, t, emb, 4))
+            eps_text, eps_uncond = eps[:B], eps[B : 2 * B]
+            eps_neg = eps[2 * B :]
+            e_pos = eps_text - eps_uncond
+            accum = jnp.zeros_like(e_pos)
+            for i in range(2):
+                e_i = eps_neg[i * B : (i + 1) * B] - eps_uncond
+                accum = accum + neg_w[:, i].reshape(-1, 1, 1, 1) * \
+                    perpendicular_component(e_i, e_pos)
+            eps_cfg = eps_uncond + g * (e_pos + accum)
+        else:
+            emb = prompt_utils.get_text_embeddings(
+                elevation, azimuth, camera_distances,
+                view_dependent_prompting=cfg.view_dependent_prompting,
+                return_null=False,
+            )
+            eps = sg(self._eps(params, latents_noisy, t, emb, 2))
+            eps_text, eps_uncond = jnp.split(eps, 2, axis=0)
+            # IF's high-scale CFG anchors on the TEXT branch (:211-214)
+            eps_cfg = eps_text + g * (eps_text - eps_uncond)
+
+        grad = self._weight(t) * (eps_cfg - noise)
+        grad = jnp.nan_to_num(grad)
+        if cfg.grad_clip is not None:
+            grad = jnp.clip(grad, -C_jax(cfg.grad_clip, step), C_jax(cfg.grad_clip, step))
+
+        target = sg(latents - grad)
+        loss_sds = 0.5 * jnp.sum((latents - target) ** 2) / B
+        return {
+            "loss_sds": loss_sds,
+            "grad_norm": jnp.linalg.norm(grad),
+            "min_step": min_step,
+            "max_step": max_step,
+        }

@@ -20,6 +20,15 @@ formula and the number of eps replicas differ:
             | sqrt(a) * (1 - a)              ("fantasia3d", :265-268)
 
 Perp-neg branch mirrors :203-235 (4 replicas, text-anchored accumulation).
+
+``use_sjc=True`` switches to the Score-Jacobian-Chaining estimator
+(:285-379, systems/sjc.py): sigma(t) = sqrt((1-a)/a), the latent is
+perturbed ADDITIVELY (z = y + sigma*noise, scaled by 1/sqrt(1+sigma^2)
+before the UNet — the variance-exploding view of the same schedule), the
+denoised estimate D = z - sigma*eps_cfg, and
+
+    grad = -(D - y) / sigma        (var_red=True, :365-368)
+         | -(D - z) / sigma        (var_red=False)
 """
 
 from __future__ import annotations
@@ -44,6 +53,8 @@ class StableDiffusionGuidance(StableDiffusionLightGuidance):
         use_controlnet: bool = False
         guidance_scale: float = 100.0
         weighting_strategy: str = "sds"  # "sds" | "uniform" | "fantasia3d"
+        use_sjc: bool = False
+        var_red: bool = True
 
     cfg: Config
 
@@ -92,7 +103,15 @@ class StableDiffusionGuidance(StableDiffusionLightGuidance):
         t = jnp.clip(t, 0, self.num_train_timesteps - 1)
 
         noise = jax.random.normal(k_noise, latents.shape)
-        latents_noisy = add_noise(self.schedule, latents, noise, t)
+        if cfg.use_sjc:
+            # variance-exploding perturbation (:285-357): z = y + sigma*n,
+            # scaled to the VP frame before the UNet
+            a = self.schedule["alphas_cumprod"][t].reshape(-1, 1, 1, 1)
+            sigma = jnp.sqrt((1.0 - a) / a)
+            zs = latents + sigma * noise
+            latents_noisy = zs / jnp.sqrt(1.0 + sigma**2)
+        else:
+            latents_noisy = add_noise(self.schedule, latents, noise, t)
 
         image_cond = None
         scales = []
@@ -129,7 +148,12 @@ class StableDiffusionGuidance(StableDiffusionLightGuidance):
             eps_text, eps_uncond = jnp.split(eps, 2, axis=0)
             eps_cfg = eps_text + g * (eps_text - eps_uncond)
 
-        grad = self._weight(t) * (eps_cfg - noise)
+        if cfg.use_sjc:
+            Ds = zs - sigma * eps_cfg
+            anchor = latents if cfg.var_red else zs
+            grad = -(Ds - anchor) / sigma
+        else:
+            grad = self._weight(t) * (eps_cfg - noise)
         grad = jnp.nan_to_num(grad)
         if cfg.grad_clip_val is not None:
             grad = jnp.clip(grad, -cfg.grad_clip_val, cfg.grad_clip_val)

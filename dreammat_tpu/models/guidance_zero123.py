@@ -1,0 +1,277 @@
+"""Zero123 novel-view guidance (image + relative-pose conditioned SDS).
+
+TPU-native rebuild of ``zero123-guidance``
+(/root/reference/threestudio_dreammat/threestudio/models/guidance/
+zero123_guidance.py:74-380). The reference loads the LDM-format Zero123
+checkpoint through ldm's ``instantiate_from_config``; here the same
+architecture is assembled from this framework's own Flax blocks:
+
+- UNet: SD-1.x shape (``UNetConfig.zero123()``) with **8 input channels**
+  — the noisy latent channel-concatenated with the clean VAE latent of the
+  conditioning image (LDM ``c_concat``, reference :241-254);
+- image conditioning: CLIP ViT image tower (``clip_vision.py``) giving one
+  768-d token, concatenated with the 4-d relative camera vector
+  ``[d_polar, sin(d_azim), cos(d_azim), d_dist]`` and pushed through the
+  ``cc_projection`` linear — exactly ``get_cond`` (:205-254);
+- CFG with zeroed image context AND zeroed concat latent (:246-254);
+- SDS: w(t) = 1 - alpha_t, grad = w (eps_cfg - eps), reparameterized MSE
+  (:294-330) — one jitted function, schedules traced via ``C_jax``.
+
+The whole guidance is prompt-free: no prompt processor is constructed
+(reference zero123 system skips it too, systems/zero123.py:37-40).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, replace
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import dreammat_tpu
+from dreammat_tpu.models.diffusion import convert
+from dreammat_tpu.models.diffusion.clip_vision import CLIPVisionConfig, CLIPVisionModel
+from dreammat_tpu.models.diffusion.scheduler import (
+    SchedulerConfig, add_noise, make_schedule,
+)
+from dreammat_tpu.models.diffusion.unet import UNet2DCondition, UNetConfig
+from dreammat_tpu.models.diffusion.vae import AutoencoderKL, VAEConfig
+from dreammat_tpu.utils.base import BaseObject
+from dreammat_tpu.utils.schedule import C_jax
+
+
+def zero123_unet_config() -> UNetConfig:
+    """SD-1.x UNet as Zero123 ships it: 8-ch input (latent + concat cond),
+    768-d CLIP context, conv (non-linear) transformer projections."""
+    return replace(
+        UNetConfig.sd21(),
+        in_channels=8,
+        cross_attention_dim=768,
+        use_linear_projection=False,
+    )
+
+
+def load_rgba_composited(path: str, size: int) -> np.ndarray:
+    """RGBA file -> [size, size, 3] float RGB on a white background
+    (reference prepare_embeddings, :150-166)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGBA")
+    img = img.resize((size, size), Image.LANCZOS)
+    rgba = np.asarray(img, dtype=np.float32) / 255.0
+    return rgba[..., :3] * rgba[..., 3:] + (1.0 - rgba[..., 3:])
+
+
+@dreammat_tpu.register("zero123-guidance")
+class Zero123Guidance(BaseObject):
+    @dataclass
+    class Config:
+        pretrained_model_name_or_path: str = "load/zero123/105000.ckpt"
+        cond_image_path: str = ""
+        cond_elevation_deg: float = 0.0
+        cond_azimuth_deg: float = 0.0
+        cond_camera_distance: float = 1.2
+        guidance_scale: float = 5.0
+        grad_clip: Optional[Any] = None
+        half_precision_weights: bool = False
+        min_step_percent: Any = 0.02
+        max_step_percent: Any = 0.98
+        model_size: str = "zero123"  # "zero123" | "tiny" (tests / CI)
+        width: int = 256
+        height: int = 256
+        # reference config-parity (unused on TPU): vram_O, max_items_eval
+        vram_O: bool = True
+        max_items_eval: int = 4
+        pretrained_config: str = ""
+
+    cfg: Config
+
+    def configure(self) -> None:
+        cfg = self.cfg
+        self.dtype = jnp.bfloat16 if cfg.half_precision_weights else jnp.float32
+        tiny = cfg.model_size == "tiny"
+        self.unet_cfg = (
+            replace(UNetConfig.tiny(), in_channels=8) if tiny
+            else zero123_unet_config()
+        )
+        self.vae_cfg = VAEConfig.tiny() if tiny else VAEConfig.sd()
+        self.vision_cfg = (
+            CLIPVisionConfig.tiny() if tiny else CLIPVisionConfig.vit_l14()
+        )
+        assert self.vision_cfg.projection_dim == self.unet_cfg.cross_attention_dim
+        self.unet = UNet2DCondition(self.unet_cfg, dtype=self.dtype)
+        self.vae = AutoencoderKL(self.vae_cfg, dtype=self.dtype)
+        self.vision = CLIPVisionModel(self.vision_cfg, dtype=self.dtype)
+        # Zero123's LDM config: linear_start 0.00085, linear_end 0.012,
+        # scaled_linear, 1000 steps — identical to SD (:118-127)
+        self.schedule = make_schedule(SchedulerConfig())
+        self.num_train_timesteps = SchedulerConfig().num_train_timesteps
+        self.params: Optional[Dict[str, Any]] = None
+
+    @property
+    def vae_factor(self) -> int:
+        return 2 ** (len(self.vae_cfg.block_out_channels) - 1)
+
+    # ------------------------------------------------------------------
+    def init_params(
+        self, rng: jax.Array, cond_rgb: Optional[np.ndarray] = None
+    ) -> Dict[str, Any]:
+        """Random-init the frozen towers (real Zero123 LDM checkpoints are
+        single ~5GB ckpt files the image does not ship; the architecture
+        matches so day-1 ingestion is a key-mapping exercise), then embed
+        the conditioning image once (prepare_embeddings, :150-171)."""
+        cfg = self.cfg
+        S = cfg.height
+        lat = S // self.vae_factor
+        cross = self.unet_cfg.cross_attention_dim
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        params: Dict[str, Any] = {}
+        params["unet"] = convert.fast_random_init(
+            k1, lambda: self.unet.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, lat, lat, 8)),
+                jnp.zeros((1,)), jnp.zeros((1, 1, cross)),
+            )
+        )
+        params["vae"] = convert.fast_random_init(
+            k2, lambda: self.vae.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
+        )
+        params["vision"] = convert.fast_random_init(
+            k3, lambda: self.vision.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
+        )
+        # cc_projection: Linear(cross+4 -> cross), initialized (as upstream
+        # Zero123 does) to pass the CLIP embedding through and ignore the
+        # pose at t=0 of finetuning; random tail columns here
+        wk, bk = jax.random.split(k4)
+        w_img = jnp.eye(cross)
+        w_pose = jax.random.normal(wk, (4, cross)) * 1e-3
+        params["cc_projection"] = {
+            "w": jnp.concatenate([w_img, w_pose], axis=0),
+            "b": jnp.zeros((cross,)),
+        }
+
+        if cond_rgb is None:
+            if cfg.cond_image_path and os.path.exists(cfg.cond_image_path):
+                cond_rgb = load_rgba_composited(cfg.cond_image_path, S)
+            else:
+                raise FileNotFoundError(
+                    f"cond_image_path {cfg.cond_image_path!r} not found and no "
+                    "cond_rgb array given"
+                )
+        cond = jnp.asarray(cond_rgb, jnp.float32)[None]  # [1,S,S,3]
+        if cond.shape[1] != S:
+            cond = jax.image.resize(cond, (1, S, S, 3), method="linear")
+        # c_crossattn: CLIP image token; c_concat: UNSCALED posterior mean
+        # (LDM .mode(), :175-181)
+        params["c_crossattn"] = self.vision.apply(params["vision"], cond)
+        mean, _ = self.vae.apply(
+            params["vae"], cond * 2.0 - 1.0, method=self.vae.encode_moments
+        )
+        params["c_concat"] = mean.astype(jnp.float32)
+        self.params = params
+        self.cond_rgb = np.asarray(cond[0])
+        return params
+
+    # ------------------------------------------------------------------
+    def encode_images(self, params, rgb_bhwc, rng) -> jnp.ndarray:
+        x = rgb_bhwc * 2.0 - 1.0
+        return self.vae.apply(params["vae"], x, rng, method=self.vae.encode).astype(
+            jnp.float32
+        )
+
+    def decode_latents(self, params, latents) -> jnp.ndarray:
+        img = self.vae.apply(params["vae"], latents, method=self.vae.decode)
+        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0).astype(jnp.float32)
+
+    def get_cond(self, params, elevation, azimuth, camera_distances):
+        """Relative-pose token (get_cond, :205-254). Angles in degrees."""
+        cfg = self.cfg
+        B = elevation.shape[0]
+        d2r = jnp.pi / 180.0
+        T = jnp.stack(
+            [
+                d2r * ((90.0 - elevation) - (90.0 - cfg.cond_elevation_deg)),
+                jnp.sin(d2r * (azimuth - cfg.cond_azimuth_deg)),
+                jnp.cos(d2r * (azimuth - cfg.cond_azimuth_deg)),
+                camera_distances - cfg.cond_camera_distance,
+            ],
+            axis=-1,
+        )[:, None, :]  # [B,1,4]
+        img_tok = jnp.broadcast_to(
+            params["c_crossattn"], (B, 1, params["c_crossattn"].shape[-1])
+        )
+        inp = jnp.concatenate([img_tok, T], axis=-1)
+        clip_emb = inp @ params["cc_projection"]["w"] + params["cc_projection"]["b"]
+        context = jnp.concatenate([jnp.zeros_like(clip_emb), clip_emb], axis=0)
+        cc = jnp.broadcast_to(
+            params["c_concat"], (B, *params["c_concat"].shape[1:])
+        )
+        concat = jnp.concatenate([jnp.zeros_like(cc), cc], axis=0)
+        return context, concat
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        params: Dict[str, Any],
+        rgb: jnp.ndarray,           # [B,H,W,3] in [0,1]
+        elevation: jnp.ndarray,     # [B] deg
+        azimuth: jnp.ndarray,       # [B] deg
+        camera_distances: jnp.ndarray,
+        step=0,
+        rng: Optional[jax.Array] = None,
+        rgb_as_latents: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        B = rgb.shape[0]
+        S = cfg.height
+        lat = S // self.vae_factor
+        k_t, k_noise, k_enc = jax.random.split(rng, 3)
+
+        if rgb_as_latents:
+            latents = jax.image.resize(
+                rgb, (B, lat, lat, rgb.shape[-1]), method="linear"
+            ) * 2.0 - 1.0
+        else:
+            img = jax.image.resize(rgb, (B, S, S, 3), method="linear")
+            latents = self.encode_images(params, img, k_enc)
+
+        min_pct = C_jax(cfg.min_step_percent, step)
+        max_pct = C_jax(cfg.max_step_percent, step)
+        min_step = jnp.round(self.num_train_timesteps * min_pct).astype(jnp.int32)
+        max_step = jnp.round(self.num_train_timesteps * max_pct).astype(jnp.int32)
+        u = jax.random.uniform(k_t, (B,))
+        t = (min_step + u * (max_step - min_step + 1).astype(jnp.float32)).astype(
+            jnp.int32
+        )
+        t = jnp.clip(t, 0, self.num_train_timesteps - 1)
+
+        noise = jax.random.normal(k_noise, latents.shape)
+        latents_noisy = add_noise(self.schedule, latents, noise, t)
+
+        context, concat = self.get_cond(
+            params, elevation, azimuth, camera_distances
+        )
+        x_in = jnp.concatenate([latents_noisy] * 2, axis=0)
+        x_in = jnp.concatenate([x_in, concat], axis=-1)  # channel concat
+        t_in = jnp.concatenate([t] * 2, axis=0)
+        eps = self.unet.apply(params["unet"], x_in, t_in, context).astype(jnp.float32)
+        eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
+        eps_cfg = eps_uncond + cfg.guidance_scale * (eps_cond - eps_uncond)
+
+        w = (1.0 - self.schedule["alphas_cumprod"][t]).reshape(-1, 1, 1, 1)
+        grad = w * (eps_cfg - noise)
+        grad = jnp.nan_to_num(grad)
+        if cfg.grad_clip is not None:
+            clip_val = C_jax(cfg.grad_clip, step)
+            grad = jnp.clip(grad, -clip_val, clip_val)
+
+        target = jax.lax.stop_gradient(latents - grad)
+        loss_sds = 0.5 * jnp.sum((latents - target) ** 2) / B
+        return {
+            "loss_sds": loss_sds,
+            "grad_norm": jnp.linalg.norm(grad),
+            "min_step": min_step,
+            "max_step": max_step,
+        }

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 import dreammat_tpu
+from dreammat_tpu.utils.ops import safe_normalize
 from dreammat_tpu.utils.base import BaseObject
 
 
@@ -114,7 +115,7 @@ class NeRFVolumeRenderer(BaseObject):
         ).reshape(-1, 3)
         jitter = jax.random.uniform(rng, idx.shape)
         pts = lo + (idx + jitter) * cell
-        d = self.geometry.forward_density(geo_params, pts)[..., 0]
+        d = self._occ_density(geo_params, pts)
         occ_new = (d * self.render_step_size).reshape(G, G, G)
         occ = jnp.maximum(state["occ"] * self.cfg.grid_ema_decay, occ_new)
         return {**state, "occ": occ}
@@ -257,6 +258,7 @@ class NeRFVolumeRenderer(BaseObject):
             positions=pts,
             shading_normal=geo_out.get("shading_normal"),
             light_positions=light_positions[:, None, :],
+            viewdirs=jnp.broadcast_to(rays_d[:, None, :], pts.shape),
             rng=k_mat,
             step=step,
             is_train=is_train,
@@ -284,9 +286,7 @@ class NeRFVolumeRenderer(BaseObject):
         if "normal" in geo_out:
             out["normal"] = geo_out["normal"]
             comp_normal = jnp.sum(w[..., None] * geo_out["normal"], axis=1)
-            comp_normal = comp_normal / (
-                jnp.linalg.norm(comp_normal, axis=-1, keepdims=True) + 1e-8
-            )
+            comp_normal = safe_normalize(comp_normal)
             out["comp_normal"] = (comp_normal + 1.0) / 2.0 * opacity
             if is_train and cfg.return_normal_perturb:
                 out["normal_perturb"] = self.geometry.apply(
@@ -296,12 +296,18 @@ class NeRFVolumeRenderer(BaseObject):
                 )["normal"]
         return out
 
+    # hook for SDF-family subclasses: how to query scalar "density" for the
+    # occupancy refresh
+    def _occ_density(self, geo_params, pts):
+        return self.geometry.forward_density(geo_params, pts)[..., 0]
+
     def render_image(
         self, geo_params, bg_params, state, rays_o, rays_d, light_position,
-        rng, step=0,
+        rng, step=0, **render_kw,
     ) -> Dict[str, jnp.ndarray]:
         """Eval helper: [H,W,3] rays -> composited [H,W,...] maps, chunked
-        to bound sample memory (reference eval_chunk_size, :162-166)."""
+        to bound sample memory (reference eval_chunk_size, :162-166).
+        Extra kwargs (e.g. NeuS var_params) pass through to render_rays."""
         H, W = rays_o.shape[:2]
         n = H * W
         ro = rays_o.reshape(-1, 3)
@@ -315,7 +321,8 @@ class NeRFVolumeRenderer(BaseObject):
         for i in range(0, n + pad, C):
             outs.append(self.render_rays(
                 geo_params, bg_params, state, ro[i:i + C], rd[i:i + C],
-                lp[i:i + C], jax.random.fold_in(rng, i), step=step, is_train=False,
+                lp[i:i + C], jax.random.fold_in(rng, i), step=step,
+                is_train=False, **render_kw,
             ))
         keys = ("comp_rgb", "opacity", "depth", "comp_normal")
         out = {}
@@ -323,4 +330,313 @@ class NeRFVolumeRenderer(BaseObject):
             if outs and key in outs[0]:
                 v = jnp.concatenate([o[key] for o in outs])[:n]
                 out[key] = v.reshape(H, W, v.shape[-1])
+        return out
+
+
+def volsdf_density(sdf, inv_std):
+    """Laplace-CDF density (reference neus_volume_renderer.py:19-23)."""
+    inv_std = jnp.clip(inv_std, 0.0, 80.0)
+    return inv_std * (0.5 + 0.5 * jnp.sign(sdf) * jnp.expm1(-jnp.abs(sdf) * inv_std))
+
+
+@dreammat_tpu.register("neus-volume-renderer")
+class NeuSVolumeRenderer(NeRFVolumeRenderer):
+    """NeuS/VolSDF volume renderer over an implicit-sdf geometry.
+
+    Rebuild of ``NeuSVolumeRenderer``
+    (/root/reference/threestudio_dreammat/threestudio/models/renderers/
+    neus_volume_renderer.py:41-356) on the same dense fixed-shape sampling
+    stack as the NeRF renderer; only the alpha model differs:
+
+    - NeuS (default): per-interval alpha from the logistic CDF of the SDF
+      at estimated interval endpoints, with the cos-anneal warmup
+      (:93-117); the single learned variance ``s = exp(10 * raw)`` lives in
+      a tiny trainable pytree the system owns (``init_variance``), since
+      everything here is pure functions over explicit params.
+    - ``use_volsdf=True``: sigma = Laplace-CDF density and the standard
+      exp-compositing path (:96).
+
+    The geometry contract is ``apply() -> {sdf, features, normal,
+    sdf_grad}``; ``sdf_grad`` is forwarded for the system's eikonal loss.
+    """
+
+    @dataclass
+    class Config(NeRFVolumeRenderer.Config):
+        learned_variance_init: float = 0.3
+        cos_anneal_end_steps: int = 0
+        use_volsdf: bool = False
+
+    cfg: Config
+
+    def init_variance(self) -> Dict[str, jnp.ndarray]:
+        """Trainable pytree: raw variance (LearnedVariance, :26-37)."""
+        return {"_inv_std": jnp.float32(self.cfg.learned_variance_init)}
+
+    @staticmethod
+    def inv_std(var_params) -> jnp.ndarray:
+        return jnp.clip(jnp.exp(var_params["_inv_std"] * 10.0), 1e-6, 1e6)
+
+    def _occ_density(self, geo_params, pts):
+        # occupancy proxy for the pruning grid: the band |sdf| < cell
+        # diagonal is "occupied" (nerfacc uses the alpha_fn; a fixed
+        # moderate inv_std gives the same thresholding behavior)
+        sdf = self.geometry.forward_sdf(geo_params, pts)[..., 0]
+        return volsdf_density(sdf, 20.0)
+
+    def _alphas(self, sdf, normal, dirs, delta, var_params, step):
+        inv_std = self.inv_std(var_params)
+        if self.cfg.use_volsdf:
+            sd = volsdf_density(sdf, inv_std) * delta
+            alpha = 1.0 - jnp.exp(-sd)
+        else:
+            true_cos = jnp.sum(normal * dirs, axis=-1)
+            if self.cfg.cos_anneal_end_steps > 0:
+                ratio = jnp.clip(
+                    jnp.asarray(step, jnp.float32) / self.cfg.cos_anneal_end_steps,
+                    0.0, 1.0,
+                )
+            else:
+                ratio = 1.0
+            # annealed |cos| estimate (:99-107): early training sees the
+            # relaxed 0.5*(1-cos) so gradients reach back-facing samples
+            iter_cos = -(
+                jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - ratio)
+                + jax.nn.relu(-true_cos) * ratio
+            )
+            est_next = sdf + iter_cos * delta * 0.5
+            est_prev = sdf - iter_cos * delta * 0.5
+            prev_cdf = jax.nn.sigmoid(est_prev * inv_std)
+            next_cdf = jax.nn.sigmoid(est_next * inv_std)
+            alpha = jnp.clip(
+                (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0
+            )
+        T = jnp.cumprod(
+            jnp.concatenate([jnp.ones_like(alpha[:, :1]), 1.0 - alpha[:, :-1] + 1e-7],
+                            axis=1),
+            axis=1,
+        )
+        return T * alpha
+
+    def render_rays(
+        self, geo_params, bg_params, state, rays_o, rays_d, light_positions,
+        rng, step=0, is_train: bool = False, var_params=None,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        if var_params is None:
+            var_params = self.init_variance()
+        S = cfg.num_samples_per_ray
+        randomized = bool(cfg.randomized and is_train)
+        k_strat, k_coarse, k_imp, k_mat = jax.random.split(rng, 4)
+
+        t0, t1 = ray_aabb(rays_o, rays_d, self.bbox_lo, self.bbox_hi)
+        t0 = jnp.maximum(t0, cfg.near_plane)
+        t1 = jnp.clip(t1, t0, cfg.far_plane)
+
+        occ_bin = None
+        if cfg.estimator == "occgrid":
+            occ_bin = self._occ_binary(state)
+            if cfg.grid_prune:
+                t0, t1 = self._tighten_by_grid(occ_bin, rays_o, rays_d, t0, t1)
+            t = self._stratified(k_strat, t0, t1, S, randomized)
+        elif cfg.estimator in ("importance", "proposal"):
+            # VolSDF density drives the coarse pass (:197-218)
+            Sc = cfg.num_samples_per_ray_importance
+            tc = self._stratified(k_coarse, t0, t1, Sc, randomized)
+            pc = rays_o[:, None, :] + rays_d[:, None, :] * tc[..., None]
+            sdf_c = jax.lax.stop_gradient(
+                self.geometry.forward_sdf(geo_params, pc)[..., 0]
+            )
+            sigma_c = volsdf_density(sdf_c, self.inv_std(var_params))
+            delta_c = jnp.broadcast_to(((t1 - t0) / Sc)[:, None], tc.shape)
+            wc = self._weights(sigma_c, delta_c)
+            t = self._importance_resample(k_imp, tc, wc, t0, t1, S)
+        else:
+            raise ValueError(f"unknown estimator {cfg.estimator}")
+
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+        geo_out = self.geometry.apply(geo_params, pts, output_normal=True)
+        sdf = geo_out["sdf"][..., 0]
+        normal = geo_out["normal"]
+        t_dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+
+        dt = jnp.diff(t, axis=1)
+        delta = jnp.concatenate([dt, dt[:, -1:]], axis=1)
+        delta = jnp.maximum(delta, 1e-6)
+
+        w = self._alphas(sdf, normal, t_dirs, delta, var_params, step)
+        if occ_bin is not None and cfg.prune_alpha_threshold:
+            w = w * self._occ_at(occ_bin, pts)
+        valid = (t1 > t0)[:, None]
+        w = w * valid
+
+        rgb_s = self.material(
+            geo_out.get("features"),
+            positions=pts,
+            shading_normal=normal,
+            light_positions=light_positions[:, None, :],
+            viewdirs=t_dirs,
+            rng=k_mat,
+            step=step,
+            is_train=is_train,
+        )
+
+        opacity = jnp.sum(w, axis=1, keepdims=True)
+        depth = jnp.sum(w * t, axis=1, keepdims=True)
+        comp_rgb_fg = jnp.sum(w[..., None] * rgb_s, axis=1)
+        z_var = jnp.sum(w * (t - depth) ** 2, axis=1, keepdims=True)
+        comp_rgb_bg = self.background(rays_d, bg_params)
+        comp_rgb = comp_rgb_fg + comp_rgb_bg * (1.0 - opacity)
+
+        comp_normal = jnp.sum(w[..., None] * normal, axis=1)
+        comp_normal = safe_normalize(comp_normal)
+        return {
+            "comp_rgb": comp_rgb,
+            "comp_rgb_fg": comp_rgb_fg,
+            "comp_rgb_bg": comp_rgb_bg,
+            "opacity": opacity,
+            "depth": depth,
+            "z_variance": z_var,
+            "weights": w,
+            "t_points": t,
+            "t_dirs": t_dirs,
+            "points": pts,
+            "normal": normal,
+            "sdf_grad": geo_out["sdf_grad"],
+            "comp_normal": (comp_normal + 1.0) / 2.0 * opacity,
+            "inv_std": self.inv_std(var_params),
+        }
+
+
+@dreammat_tpu.register("patch-renderer")
+class PatchRenderer(BaseObject):
+    """Memory-bounded full-resolution training: low-res global render +
+    one random full-res patch pasted over it.
+
+    Rebuild of ``PatchRenderer``
+    (/root/reference/threestudio_dreammat/threestudio/models/renderers/
+    patch_renderer.py:15-106) with static shapes throughout: the reference
+    bilinearly downsamples the ray grid and crops with a python randint;
+    here the global pass subsamples rays with a fixed stride (equivalent
+    ray selection, no interpolation of ray directions needed) and the patch
+    is a ``lax.dynamic_slice`` at a *traced* random offset — everything
+    stays inside the one jitted train step, no per-offset recompiles.
+
+    Image-like outputs (leading dim == n_rays) are upsampled from the
+    global pass and overwritten in the patch window; sample-dim outputs
+    (weights, per-sample normals, ...) come from the global pass unchanged,
+    matching the reference's ``valid_patch_key`` filter.
+    """
+
+    @dataclass
+    class Config:
+        patch_size: int = 128
+        base_renderer_type: str = "nerf-volume-renderer"
+        base_renderer: Any = None
+        global_detach: bool = False
+        global_downsample: int = 4
+
+    cfg: Config
+    is_volume: bool = True
+
+    def __init__(self, cfg, geometry, material, background) -> None:
+        self.geometry = geometry
+        self.material = material
+        self.background = background
+        super().__init__(cfg)
+
+    def configure(self) -> None:
+        self.base = dreammat_tpu.find(self.cfg.base_renderer_type)(
+            self.cfg.base_renderer or {},
+            self.geometry, self.material, self.background,
+        )
+        self.mesh = None
+        # systems poke renderer.cfg.estimator/grid_prune/grid_update_every
+        # for the occupancy refresh; mirror the base's knobs onto our cfg
+        for k in ("estimator", "grid_prune", "grid_update_every"):
+            setattr(self.cfg, k, getattr(self.base.cfg, k, None))
+
+    # -- delegated state ----------------------------------------------------
+    def init_state(self, rng):
+        return self.base.init_state(rng)
+
+    def update_occ(self, geo_params, state, rng):
+        return self.base.update_occ(geo_params, state, rng)
+
+    def render_image(self, *a, **kw):
+        return self.base.render_image(*a, **kw)
+
+    def render_rays(
+        self, geo_params, bg_params, state, rays_o, rays_d, light_positions,
+        rng, step=0, is_train: bool = False, **kw,
+    ):
+        if not is_train:
+            return self.base.render_rays(
+                geo_params, bg_params, state, rays_o, rays_d, light_positions,
+                rng, step=step, is_train=is_train, **kw,
+            )
+        N = rays_o.shape[0]
+        H = W = int(round(float(N) ** 0.5))
+        if H * W != N:
+            raise ValueError(
+                f"patch-renderer needs a square ray grid, got {N} rays"
+            )
+        ds = self.cfg.global_downsample
+        PS = min(self.cfg.patch_size, H, W)
+        k_off, k_g, k_p = jax.random.split(rng, 3)
+
+        go = rays_o.reshape(H, W, 3)
+        gd = rays_d.reshape(H, W, 3)
+        gl = light_positions.reshape(H, W, 3)
+
+        # global pass: strided ray subsample (:52-63)
+        sub = lambda img: img[ds // 2 :: ds, ds // 2 :: ds].reshape(-1, 3)
+        out_g = self.base.render_rays(
+            geo_params, bg_params, state, sub(go), sub(gd), sub(gl),
+            k_g, step=step, is_train=True, **kw,
+        )
+        Hg = len(range(ds // 2, H, ds))
+        Wg = len(range(ds // 2, W, ds))
+        Ng = Hg * Wg
+
+        # patch pass at a traced random offset (:65-71)
+        py = jax.random.randint(k_off, (), 0, H - PS + 1)
+        px = jax.random.randint(jax.random.fold_in(k_off, 1), (), 0, W - PS + 1)
+        sl = lambda img: jax.lax.dynamic_slice(
+            img, (py, px, 0), (PS, PS, 3)
+        ).reshape(-1, 3)
+        out_p = self.base.render_rays(
+            geo_params, bg_params, state, sl(go), sl(gd), sl(gl),
+            k_p, step=step, is_train=True, **kw,
+        )
+
+        # merge: upsample image-like globals to [H, W], paste patch (:73-90).
+        # The reference detects image-like keys by comparing shapes with
+        # comp_rgb (:79-84); in our flat [N, C] layout that test cannot
+        # tell an image from per-sample [N, S] outputs, so the set is
+        # explicit.
+        IMAGE_KEYS = (
+            "comp_rgb", "comp_rgb_fg", "comp_rgb_bg", "opacity", "depth",
+            "comp_normal", "z_variance",
+        )
+        out = {}
+        for key, vg in out_g.items():
+            vp = out_p.get(key)
+            if (
+                key in IMAGE_KEYS
+                and vp is not None
+                and hasattr(vg, "ndim") and vg.ndim == 2
+                and vg.shape[0] == Ng and vp.shape[0] == PS * PS
+            ):
+                C = vg.shape[1]
+                full = jax.image.resize(
+                    vg.reshape(Hg, Wg, C), (H, W, C), method="linear"
+                )
+                if self.cfg.global_detach:
+                    full = jax.lax.stop_gradient(full)
+                full = jax.lax.dynamic_update_slice(
+                    full, vp.reshape(PS, PS, C), (py, px, 0)
+                )
+                out[key] = full.reshape(N, C)
+            else:
+                out[key] = vg
         return out

@@ -49,6 +49,13 @@ class LatentNeRF(DreamFusion):
                 "guide_shape (libigl winding-number ShapeLoss) is not "
                 "supported; see module docstring"
             )
+        # the background must composite in the same space the field renders
+        # (4 latent channels unless refinement renders RGB) — reference does
+        # this via yaml (latent-nerf config n_output_dims: 4); forcing it
+        # here keeps sparse configs working
+        bg = dict(self.cfg.background or {})
+        bg.setdefault("n_output_dims", self._n_render_ch)
+        self.cfg.background = bg
         super().configure()
 
     @property

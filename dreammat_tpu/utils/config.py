@@ -98,9 +98,16 @@ def resolve_interpolations(cfg: dict, root: Optional[dict] = None):
 # ---------------------------------------------------------------------------
 
 def merge_dicts(base: dict, override: dict) -> dict:
+    """Deep merge; a key ending in ``!`` REPLACES the base subtree instead
+    of merging into it (``system.guidance!={...}`` — needed when an
+    override switches a component type and the base keys would be invalid
+    for the new component's Config)."""
     out = dict(base)
     for k, v in override.items():
-        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+        if k.endswith("!"):
+            out.pop(k[:-1], None)
+            out[k[:-1]] = v
+        elif k in out and isinstance(out[k], dict) and isinstance(v, dict):
             out[k] = merge_dicts(out[k], v)
         else:
             out[k] = v

@@ -34,7 +34,12 @@ def saturate_dot(a, b):
 
 
 def safe_normalize(v, eps: float = 1e-8):
-    return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + eps)
+    """Normalize with a derivative-safe guard: ``d||v||/dv`` is NaN at
+    v=0 (0/0), which poisons backward passes whenever a normal/direction
+    degenerates to exactly zero (e.g. finite-difference normals at clipped
+    bbox boundaries). rsqrt(sum v^2 + eps^2) has a finite gradient
+    everywhere and matches 1/(||v||+eps) to first order."""
+    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps * eps)
 
 
 def reflect(view_dirs, normals):

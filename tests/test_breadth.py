@@ -1,0 +1,218 @@
+"""Threestudio-breadth components: volume-grid geometry, pbr/neural/
+adapter/hybrid materials, textured background, patch renderer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dreammat_tpu
+import dreammat_tpu.models  # noqa: F401
+
+
+# -- volume-grid geometry ----------------------------------------------------
+
+def test_volume_grid_blob_and_normals():
+    geo = dreammat_tpu.find("volume-grid")(
+        {"grid_size": (16, 16, 16), "n_feature_dims": 3, "radius": 1.0}
+    )
+    params = geo.init(jax.random.PRNGKey(0))
+    assert params["grid"].shape == (16, 16, 16, 4)
+
+    pts = jnp.asarray([[0.0, 0.0, 0.0], [0.9, 0.0, 0.0], [0.0, 0.5, 0.0]])
+    d = geo.forward_density(params, pts)
+    assert d.shape == (3, 1)
+    # zero grid + blob bias: density decreases away from the origin
+    assert float(d[0, 0]) > float(d[1, 0])
+
+    out = geo.apply(params, pts, output_normal=True)
+    assert out["features"].shape == (3, 3)
+    assert out["normal"].shape == (3, 3)
+    assert np.isfinite(np.asarray(out["normal"])).all()
+    # blob gradient points outward -> normal (-grad density) away from center
+    n = np.asarray(out["normal"][1])
+    assert n[0] > 0.5
+
+
+def test_volume_grid_trains_density():
+    """Gradients flow into the grid: one SGD step changes the density."""
+    geo = dreammat_tpu.find("volume-grid")(
+        {"grid_size": (8, 8, 8), "n_feature_dims": 0}
+    )
+    params = geo.init(jax.random.PRNGKey(0))
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-1, maxval=1)
+
+    def loss(p):
+        return (geo.forward_density(p, pts) ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["grid"]).max()) > 0
+    assert np.isfinite(float(g["density_scale"]))
+
+
+# -- materials ---------------------------------------------------------------
+
+def _mat_args(n=5):
+    k = jax.random.PRNGKey(0)
+    pos = jax.random.normal(k, (n, 3))
+    nrm = pos / jnp.linalg.norm(pos, axis=-1, keepdims=True)
+    view = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (n, 3))
+    light = jnp.broadcast_to(jnp.asarray([2.0, 2.0, 2.0]), (n, 3))
+    return pos, nrm, view, light
+
+
+def test_pbr_material_shading_and_export():
+    mat = dreammat_tpu.find("pbr-material")(
+        {"use_bump": True, "splitsum_base_res": 16}
+    )
+    pos, nrm, view, light = _mat_args()
+    feat = jax.random.normal(jax.random.PRNGKey(3), (5, 8))
+    tangent = jnp.cross(nrm, jnp.asarray([0.0, 0.0, 1.0]))
+    tangent = tangent / (jnp.linalg.norm(tangent, axis=-1, keepdims=True) + 1e-8)
+    rgb = mat(feat, positions=pos, shading_normal=nrm, light_positions=light,
+              viewdirs=view, tangent=tangent)
+    assert rgb.shape == (5, 3)
+    assert np.isfinite(np.asarray(rgb)).all()
+    assert float(rgb.min()) >= 0.0
+
+    ex = mat.export(feat)
+    assert set(ex) == {"albedo", "metallic", "roughness", "bump"}
+    assert float(ex["roughness"].min()) >= mat.cfg.min_roughness - 1e-6
+    assert float(ex["metallic"].max()) <= mat.cfg.max_metallic + 1e-6
+
+    # rougher surface, dimmer/smoother specular: just check grad flows
+    g = jax.grad(lambda f: mat(
+        f, positions=pos, shading_normal=nrm, light_positions=light,
+        viewdirs=view, tangent=tangent).sum())(feat)
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_neural_radiance_material_view_dependence():
+    mat = dreammat_tpu.find("neural-radiance-material")(
+        {"input_feature_dims": 4, "sh_degree": 3}
+    )
+    feat = jax.random.normal(jax.random.PRNGKey(0), (6, 4))
+    v1 = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (6, 3))
+    v2 = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (6, 3))
+    c1 = mat(feat, viewdirs=v1)
+    c2 = mat(feat, viewdirs=v2)
+    assert c1.shape == (6, 3)
+    assert not np.allclose(np.asarray(c1), np.asarray(c2))
+    assert float(c1.min()) >= 0.0 and float(c1.max()) <= 1.0
+
+
+def test_sd_latent_adapter_material():
+    mat = dreammat_tpu.find("sd-latent-adapter-material")({})
+    lat = jax.random.normal(jax.random.PRNGKey(0), (4, 4))
+    rgb = mat(lat)
+    assert rgb.shape == (4, 3)
+    assert float(rgb.min()) >= 0.0 and float(rgb.max()) <= 1.0
+
+
+def test_hybrid_rgb_latent_material():
+    mat = dreammat_tpu.find("hybrid-rgb-latent-material")({"n_output_dims": 7})
+    feat = jax.random.normal(jax.random.PRNGKey(0), (4, 7)) * 5.0
+    out = mat(feat)
+    assert out.shape == (4, 7)
+    # rgb part squashed, latent part untouched
+    assert float(out[..., :3].max()) <= 1.0
+    assert np.allclose(np.asarray(out[..., 3:]), np.asarray(feat[..., 3:]))
+
+
+# -- textured background -----------------------------------------------------
+
+def test_textured_background():
+    bg = dreammat_tpu.find("textured-background")(
+        {"height": 8, "width": 16, "n_output_dims": 3}
+    )
+    params = bg.init(jax.random.PRNGKey(0))
+    assert params["texture"].shape == (8, 16, 3)
+    dirs = jax.random.normal(jax.random.PRNGKey(1), (10, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    out = bg(dirs, params)
+    assert out.shape == (10, 3)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    # trainable: grads reach the texture
+    g = jax.grad(lambda p: bg(dirs, p).sum())(params)
+    assert float(jnp.abs(g["texture"]).max()) > 0
+
+
+def test_solid_background_latent_dims():
+    bg = dreammat_tpu.find("solid-color-background")({"n_output_dims": 4})
+    dirs = jnp.zeros((5, 3))
+    assert bg(dirs).shape == (5, 4)
+
+
+# -- patch renderer ----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def patch_setup():
+    geo = dreammat_tpu.find("implicit-volume")(
+        {
+            "radius": 1.0, "n_feature_dims": 3,
+            "normal_type": "finite_difference",
+            "pos_encoding_config": {
+                "otype": "HashGrid", "n_levels": 2, "n_features_per_level": 2,
+                "log2_hashmap_size": 8, "base_resolution": 4,
+                "per_level_scale": 1.5,
+            },
+            "mlp_network_config": {"n_neurons": 8, "n_hidden_layers": 1},
+        }
+    )
+    mat = dreammat_tpu.find("no-material")({"n_output_dims": 3})
+    bg = dreammat_tpu.find("solid-color-background")({})
+    rend = dreammat_tpu.find("patch-renderer")(
+        {
+            "patch_size": 8, "global_downsample": 4,
+            "base_renderer_type": "nerf-volume-renderer",
+            "base_renderer": {
+                "radius": 1.0, "num_samples_per_ray": 16,
+                "estimator": "occgrid", "grid_resolution": 8,
+            },
+        },
+        geo, mat, bg,
+    )
+    return geo, bg, rend
+
+
+def test_patch_renderer_train_merge(patch_setup):
+    geo, bg, rend = patch_setup
+    k = jax.random.PRNGKey(0)
+    geo_params = geo.init(k)
+    bg_params = bg.init(k)
+    state = rend.update_occ(geo_params, rend.init_state(k), k)
+
+    H = W = 16
+    # simple forward-facing ray grid
+    ys, xs = jnp.meshgrid(
+        jnp.linspace(-0.5, 0.5, H), jnp.linspace(-0.5, 0.5, W), indexing="ij"
+    )
+    rays_o = jnp.stack([xs, ys, jnp.full_like(xs, 2.0)], -1).reshape(-1, 3)
+    rays_d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), rays_o.shape)
+    light = jnp.broadcast_to(jnp.asarray([2.0, 2.0, 2.0]), rays_o.shape)
+
+    out = rend.render_rays(
+        geo_params, bg_params, state, rays_o, rays_d, light,
+        jax.random.PRNGKey(3), step=0, is_train=True,
+    )
+    assert out["comp_rgb"].shape == (H * W, 3)
+    assert out["opacity"].shape == (H * W, 1)
+    assert np.isfinite(np.asarray(out["comp_rgb"])).all()
+    # sample-dim keys come from the global (downsampled) pass
+    assert out["weights"].shape[0] == (H // 4) * (W // 4)
+
+    # eval path delegates: full-res everywhere
+    out_eval = rend.render_rays(
+        geo_params, bg_params, state, rays_o, rays_d, light,
+        jax.random.PRNGKey(3), step=0, is_train=False,
+    )
+    assert out_eval["weights"].shape[0] == H * W
+
+    # the whole train path jits (traced patch offsets, no recompiles)
+    f = jax.jit(lambda rng: rend.render_rays(
+        geo_params, bg_params, state, rays_o, rays_d, light, rng,
+        step=0, is_train=True,
+    )["comp_rgb"])
+    a = f(jax.random.PRNGKey(1))
+    b = f(jax.random.PRNGKey(2))
+    assert a.shape == b.shape

@@ -1,0 +1,137 @@
+"""DeepFloyd-IF stack: T5 encoder, prompt processor, pixel-space guidance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dreammat_tpu
+import dreammat_tpu.models  # noqa: F401
+
+
+def test_t5_encoder_shapes_and_bias():
+    from dreammat_tpu.models.diffusion.t5 import T5Config, T5Encoder
+
+    cfg = T5Config.tiny()
+    model = T5Encoder(cfg)
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, cfg.vocab_size, (2, cfg.max_length)))
+    params = model.init(jax.random.PRNGKey(0), ids)
+    out = model.apply(params, ids)
+    assert out.shape == (2, cfg.max_length, cfg.d_model)
+    assert np.isfinite(np.asarray(out)).all()
+    # relative position bias is shared (exactly one bias table param)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    bias = [p for p, _ in flat if "relative_attention_bias" in jax.tree_util.keystr(p)]
+    assert len(bias) == 1
+
+
+def test_t5_relative_buckets_symmetric_structure():
+    from dreammat_tpu.models.diffusion.t5 import relative_position_bucket
+
+    rel = np.arange(-10, 11)
+    b = relative_position_bucket(rel, 32, 128)
+    assert b.min() >= 0 and b.max() < 32
+    # zero offset gets its own bucket; sign splits halves
+    assert b[10] == 0
+    assert (b[:10] < 16).all() and (b[11:] >= 16).all()
+
+
+def test_t5_key_mapping_covers_tree():
+    from dreammat_tpu.models.diffusion import convert
+    from dreammat_tpu.models.diffusion.t5 import T5Config, T5Encoder
+
+    cfg = T5Config.tiny()
+    model = T5Encoder(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.max_length), jnp.int32)
+    )
+    shapes = convert.flax_key_shapes(params, "t5")
+    keys = set(shapes)
+    assert "shared.weight" in keys
+    assert "encoder.final_layer_norm.weight" in keys
+    assert "encoder.block.0.layer.0.SelfAttention.q.weight" in keys
+    assert "encoder.block.1.layer.1.DenseReluDense.wi_0.weight" in keys
+    assert (
+        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+        in keys
+    )
+    # roundtrip: flax -> torch sd -> flax, bit-exact
+    sd = convert.flax_to_torch_state_dict(params, "t5")
+    params2 = convert.torch_to_flax_params(sd, params, "t5", strict=True)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.fixture(scope="module")
+def df_prompts():
+    pp = dreammat_tpu.find("deep-floyd-prompt-processor")(
+        {"model_size": "tiny", "prompt": "a red apple", "use_cache": False}
+    )
+    return pp()
+
+
+def test_deepfloyd_prompt_processor(df_prompts):
+    pu = df_prompts
+    # T5-tiny d_model=64 embeddings at max_length=16
+    assert pu.text.shape == (16, 64)
+    assert pu.text_vd.shape == (4, 16, 64)
+
+
+def test_deepfloyd_guidance_grad(df_prompts):
+    g = dreammat_tpu.find("deep-floyd-guidance")(
+        {
+            "model_size": "tiny", "half_precision_weights": False,
+            "resolution": 16, "guidance_scale": 20.0,
+        }
+    )
+    g.init_params(jax.random.PRNGKey(0))
+    rgb = jax.random.uniform(jax.random.PRNGKey(1), (1, 24, 24, 3))
+    args = (jnp.zeros((1,)), jnp.zeros((1,)), jnp.full((1,), 1.5))
+    out = g(g.params, rgb, df_prompts, *args, step=0, rng=jax.random.PRNGKey(2))
+    assert np.isfinite(float(out["loss_sds"]))
+    grad = jax.grad(
+        lambda x: g(g.params, x, df_prompts, *args, step=0,
+                    rng=jax.random.PRNGKey(2))["loss_sds"]
+    )(rgb)
+    assert np.isfinite(np.asarray(grad)).all()
+    assert float(jnp.abs(grad).max()) > 0.0
+    # no latent space: rgb_as_latents must raise
+    with pytest.raises(ValueError):
+        g(g.params, rgb, df_prompts, *args, step=0,
+          rng=jax.random.PRNGKey(2), rgb_as_latents=True)
+
+
+def test_cosine_schedule_monotone():
+    from dreammat_tpu.models.diffusion.scheduler import SchedulerConfig, make_schedule
+
+    s = make_schedule(SchedulerConfig(beta_schedule="squaredcos_cap_v2"))
+    a = np.asarray(s["alphas_cumprod"])
+    assert a[0] > 0.99
+    assert a[-1] < 0.01
+    assert (np.diff(a) < 0).all()
+
+
+def test_dreamfusion_with_deepfloyd_guidance(tmp_path):
+    """The dreamfusion system runs with the IF guidance swapped in —
+    the reference's deep-floyd config surface (guidance_type switch)."""
+    import os
+
+    from dreammat_tpu.utils.config import load_config
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "dreamfusion_if_tiny.yaml"),
+        cli_args=[
+            "system.prompt_processor.prompt=a red apple",
+            f"exp_root_dir={tmp_path}/outputs",
+        ],
+    )
+    system = dreammat_tpu.find(cfg.system_type)(cfg.system)
+    dm = dreammat_tpu.find(cfg.data_type)(cfg.data, system.renderer, system.material)
+    dm.setup()
+    state = system.fit(
+        dm, max_steps=2, seed=0, trial_dir=cfg.trial_dir,
+        val_check_interval=0, checkpoint_every=0, log_every=1,
+    )
+    assert int(state["step"]) == 2
+    leaves = jax.tree_util.tree_leaves(state["geo"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

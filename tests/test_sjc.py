@@ -1,0 +1,108 @@
+"""SJC estimator mode + magic3d/sjc system smoke."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dreammat_tpu
+import dreammat_tpu.models  # noqa: F401
+import dreammat_tpu.systems  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def sjc_guidance():
+    g = dreammat_tpu.find("stable-diffusion-guidance")(
+        {
+            "model_size": "tiny", "half_precision_weights": False,
+            "width": 32, "height": 32, "cache_dir": None,
+            "use_sjc": True, "var_red": True, "guidance_scale": 50.0,
+        }
+    )
+    g.init_params(jax.random.PRNGKey(0), latent_hw=(16, 16))
+    pp = dreammat_tpu.find("stable-diffusion-prompt-processor")(
+        {"model_size": "tiny", "prompt": "a red apple", "use_cache": False}
+    )
+    return g, pp()
+
+
+def test_sjc_grad_finite_and_distinct(sjc_guidance):
+    """SJC grads are finite and differ from plain-SDS grads on the same
+    inputs (the VE perturbation changes what the UNet sees)."""
+    g, pu = sjc_guidance
+    rgb = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 32, 3))
+    args = (jnp.zeros((1,)), jnp.zeros((1,)), jnp.full((1,), 1.5))
+
+    out = g(g.params, rgb, pu, *args, step=0, rng=jax.random.PRNGKey(7))
+    assert np.isfinite(float(out["loss_sds"]))
+    grad_img = jax.grad(
+        lambda x: g(g.params, x, pu, *args, step=0, rng=jax.random.PRNGKey(7))["loss_sds"]
+    )(rgb)
+    assert np.isfinite(np.asarray(grad_img)).all()
+    assert float(jnp.abs(grad_img).max()) > 0.0
+
+    g2 = dreammat_tpu.find("stable-diffusion-guidance")(
+        {
+            "model_size": "tiny", "half_precision_weights": False,
+            "width": 32, "height": 32, "cache_dir": None,
+            "use_sjc": False, "guidance_scale": 50.0,
+        }
+    )
+    g2.params = g.params  # same weights, different estimator
+    grad_sds = jax.grad(
+        lambda x: g2(g2.params, x, pu, *args, step=0, rng=jax.random.PRNGKey(7))["loss_sds"]
+    )(rgb)
+    assert not np.allclose(np.asarray(grad_img), np.asarray(grad_sds))
+
+
+def test_sjc_var_red_identity():
+    """With var_red, -(D - y)/sigma == eps_cfg - noise algebraically —
+    check the implementation honors it: grads match an SDS run with
+    uniform weighting and the same VE-scaled UNet input ONLY through the
+    estimator identity, so we verify the formula directly."""
+    a = jnp.asarray([0.9])
+    sigma = jnp.sqrt((1 - a) / a)
+    y = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4))
+    noise = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 4))
+    eps = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 4))
+    zs = y + sigma * noise
+    Ds = zs - sigma * eps
+    grad = -(Ds - y) / sigma
+    assert np.allclose(np.asarray(grad), np.asarray(eps - noise), atol=1e-5)
+
+
+def test_magic3d_registered_and_refinement_raises():
+    assert dreammat_tpu.find("magic3d-system") is not None
+    with pytest.raises(NotImplementedError):
+        dreammat_tpu.find("magic3d-system")(
+            {"refinement": True, "prompt_processor": {"prompt": "x"}}
+        )
+
+
+def test_sjc_system_trains(tmp_path):
+    from dreammat_tpu.utils.config import load_config
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "sjc_tiny.yaml"),
+        cli_args=[
+            "system.prompt_processor.prompt=a red apple",
+            f"exp_root_dir={tmp_path}/outputs",
+        ],
+    )
+    system = dreammat_tpu.find(cfg.system_type)(cfg.system)
+    assert system.guidance is None  # built at fit start
+    dm = dreammat_tpu.find(cfg.data_type)(cfg.data, system.renderer, system.material)
+    dm.setup()
+    state = system.fit(
+        dm, max_steps=2, seed=0, trial_dir=cfg.trial_dir,
+        val_check_interval=0, checkpoint_every=0, log_every=1,
+    )
+    assert int(state["step"]) == 2
+    assert system.guidance.cfg.use_sjc  # estimator forced on
+    leaves = jax.tree_util.tree_leaves({"geo": state["geo"], "bg": state["bg"]})
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # eval decodes the latent image to 3 channels
+    p = system.validation(state, dm, cfg.trial_dir, 2)
+    assert os.path.exists(p)

@@ -212,6 +212,21 @@ def controlnet_delta(ours, ref, model_dir=None):
         sd = convert.load_torch_state_dict(ckpt)
         params = convert.torch_to_flax_params(sd, tpl, "controlnet", strict=True)
         kind = "real-sd21"
+    elif H >= 64:
+        # random weights at the REAL architecture: stem factor 8 keeps the
+        # latent at H/8 (the tiny stem factor 2 put attention at (H/2)^2
+        # sequence length — 65536 tokens at H=512, an O(S^2) OOM on one chip)
+        ccfg = ControlNetConfig(unet=UNetConfig.sd21(), conditioning_channels=22)
+        cnet = ControlNet(ccfg, dtype=jnp.bfloat16)
+        lat = H // 8
+        ctx_dim = 1024
+        params = convert.fast_random_init(
+            jax.random.PRNGKey(0),
+            lambda: cnet.init(jax.random.PRNGKey(0), jnp.zeros((1, lat, lat, 4)),
+                              jnp.zeros((1,)), jnp.zeros((1, 4, ctx_dim)),
+                              jnp.zeros((1, H, H, 22))),
+        )
+        kind = "sd21-random"
     else:
         ccfg = ControlNetConfig.tiny()
         cnet = ControlNet(ccfg)
