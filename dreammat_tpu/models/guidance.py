@@ -84,10 +84,14 @@ class StableDiffusionLightGuidance(BaseObject):
         self.vae = AutoencoderKL(self.vae_cfg, dtype=self.dtype)
         self.controlnets = []
         if cfg.use_controlnet:
+            # subclasses (triple guidance) extend the control-type set
+            cn_channels = getattr(
+                self, "_cn_channels", {"light": 22, "depth": 3, "normal": 3}
+            )
             for ct in cfg.control_types:
                 ccfg = ControlNetConfig(
                     unet=self.unet_cfg,
-                    conditioning_channels={"light": 22, "depth": 3, "normal": 3}[ct],
+                    conditioning_channels=cn_channels[ct],
                     conditioning_embedding_channels=(16, 32) if tiny else (16, 32, 96, 256),
                 )
                 self.controlnets.append(ControlNet(ccfg, dtype=self.dtype))
@@ -201,11 +205,12 @@ class StableDiffusionLightGuidance(BaseObject):
             mid_block_additional_residual=mid,
         )
 
-    def _image_conditions(self, condition_map):
+    def _image_conditions(self, condition_map, rgb=None):
         """Per control type: 'light' consumes the 22-ch stack; 'depth' and
         'normal' reuse slices of it (channels 0 and 1:4). Resizes to guidance
         res; grayscale -> 3ch for depth controlnets (prepare_image_cond,
-        dreammat_guidance.py:518-534)."""
+        dreammat_guidance.py:518-534). ``rgb`` is the rendered image, used
+        by render-derived control types (triple guidance's canny)."""
         cfg = self.cfg
         if condition_map is None:
             return None
@@ -297,7 +302,8 @@ class StableDiffusionLightGuidance(BaseObject):
 
         scales = self.condition_scales_at(step) if cfg.use_controlnet else []
         image_cond = (
-            self._image_conditions(condition_map) if cfg.use_controlnet else None
+            self._image_conditions(condition_map, rgb=rgb)
+            if cfg.use_controlnet else None
         )
 
         sg = jax.lax.stop_gradient

@@ -13,3 +13,4 @@ from dreammat_tpu.systems import zero123  # noqa: F401
 from dreammat_tpu.systems import magic123  # noqa: F401
 from dreammat_tpu.systems import instructnerf2nerf  # noqa: F401
 from dreammat_tpu.systems import fantasia3d  # noqa: F401
+from dreammat_tpu.systems import control4d  # noqa: F401

@@ -70,3 +70,49 @@ def test_dummy_prompt_processor():
     pp = dreammat_tpu.find("dummy-prompt-processor")({})
     pu = pp()
     assert pu.text.shape[-1] == 64  # tiny CLIP width
+
+
+def test_triple_guidance_canny_and_grad():
+    import jax.numpy as jnp
+
+    g = dreammat_tpu.find("stable-diffusion-triple-guidance")(
+        {
+            "model_size": "tiny", "half_precision_weights": False,
+            "use_controlnet": True, "control_types": ["depth", "canny"],
+            "condition_scales": [1.0, 1.0],
+            "condition_scales_anneal": [1.0, 1.0],
+            "width": 24, "height": 24, "cache_dir": None,
+            "controlnet_path": None,
+        }
+    )
+    g.init_params(jax.random.PRNGKey(0), latent_hw=(12, 12))
+    pp = dreammat_tpu.find("stable-diffusion-prompt-processor")(
+        {"model_size": "tiny", "prompt": "a red apple", "use_cache": False}
+    )
+    pu = pp()
+    rgb = jax.random.uniform(jax.random.PRNGKey(1), (1, 24, 24, 3))
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (1, 24, 24, 4))
+    args = (jnp.zeros((1,)), jnp.zeros((1,)), jnp.full((1,), 1.5))
+    out = g(g.params, rgb, pu, *args, cond, step=0, rng=jax.random.PRNGKey(3))
+    assert np.isfinite(float(out["loss_sds"]))
+    grad = jax.grad(
+        lambda x: g(g.params, x, pu, *args, cond, step=0,
+                    rng=jax.random.PRNGKey(3))["loss_sds"]
+    )(rgb)
+    assert np.isfinite(np.asarray(grad)).all()
+    assert float(jnp.abs(grad).max()) > 0
+
+    # canny preprocessing: an edge image has edges where the input steps
+    from dreammat_tpu.models.guidance_triple import soft_canny
+
+    img = jnp.zeros((1, 16, 16, 3)).at[:, :, 8:, :].set(1.0)
+    e = soft_canny(img, 50, 100)
+    assert float(e[0, 8, 8, 0]) > 0.5      # at the step edge
+    assert float(e[0, 8, 2, 0]) == 0.0     # flat region
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        dreammat_tpu.find("stable-diffusion-triple-guidance")(
+            {"model_size": "tiny", "use_controlnet": True,
+             "control_types": ["hed"], "cache_dir": None}
+        )
