@@ -69,6 +69,13 @@ class RandomCameraDataModule(BaseObject):
         # tables are dropped and training shades through the exact estimator
         fastpath_check: bool = False
         fastpath_rmse_threshold: float = 0.08
+        # hybrid estimator interleave: every N-th step shades through the
+        # exact MC path (no light table) even when tables are available.
+        # Bounds the bias of baked per-vertex visibility under hard
+        # self-occlusion (torus-class geometry: fast-path grad cosine 0.24
+        # vs the 0.63 MC noise floor — see README fast-path table) at the
+        # cost of (slow_step/fast_step)/N overhead. 0 = off.
+        hybrid_mc_every: int = 0
         # precompute per-view sort maps so the field backward is scatter-free
         # (~14x faster table grads on TPU); costs ~100-180 MB HBM per view,
         # so only `static_maps_budget_mb` worth of views are device-resident
@@ -473,7 +480,10 @@ class RandomCameraDataModule(BaseObject):
         )  # [h,w,22]
         cam = self.cameras
         light_table = None
-        if self.data.table_spec is not None:
+        hybrid_mc = (
+            cfg.hybrid_mc_every > 0 and step % cfg.hybrid_mc_every == 0
+        )
+        if self.data.table_spec is not None and not hybrid_mc:
             light_table = jnp.concatenate(
                 [
                     jnp.asarray(self.data.table_diff)[env_id][:, None],

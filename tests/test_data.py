@@ -281,3 +281,45 @@ def test_static_maps_rotation():
             if v not in dm._maps_resident:
                 assert dm._enc_maps[v] is None
     assert seen == {0, 1, 2, 3}  # the window cycled through every view
+
+
+def test_hybrid_mc_interleave():
+    """hybrid_mc_every: scheduled steps drop the light table so the jitted
+    step shades through the exact MC estimator (gradient-bias bound for
+    baked visibility under hard self-occlusion)."""
+    geo = dreammat_tpu.find("dreammat-mesh")(
+        {
+            "shape_init": "procedural:sphere",
+            "pos_encoding_config": {
+                "otype": "HashGrid", "n_levels": 2, "n_features_per_level": 2,
+                "log2_hashmap_size": 8, "base_resolution": 4, "per_level_scale": 1.5,
+            },
+        }
+    )
+    geo.set_mesh(make_icosphere(1))
+    mat = dreammat_tpu.find("dreammat-material")(
+        {
+            "environment_texture": "/nonexistent", "n_environments": 1,
+            "env_height": 16, "env_width": 32,
+            "diffuse_sample_num": 8, "specular_sample_num": 4,
+        }
+    )
+    bg = dreammat_tpu.find("solid-color-background")({})
+    ren = dreammat_tpu.find("raytracing-renderer")({}, geo, mat, bg)
+    dmod = dreammat_tpu.find("random-camera-datamodule")(
+        {
+            "width": 16, "height": 16, "fix_view_num": 2, "fix_env_num": 1,
+            "cond_height": 16, "cond_width": 16, "n_test_views": 2,
+            "prerender_cache_dir": None, "static_field_maps": False,
+            "hybrid_mc_every": 3,
+        },
+        ren, mat,
+    )
+    dmod.setup()
+    assert dmod.data.table_spec is not None
+    for step in range(6):
+        b = dmod.collate(step=step)
+        if step % 3 == 0:
+            assert b["light_table"] is None, f"step {step} should be exact-MC"
+        else:
+            assert b["light_table"] is not None, f"step {step} should use tables"

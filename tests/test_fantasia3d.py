@@ -158,3 +158,38 @@ def test_fantasia3d_texture_stage(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(state["geo"]["feature_mlp"])[0]),
         np.asarray(jax.tree_util.tree_leaves(p0["feature_mlp"])[0]),
     )
+
+
+def test_magic3d_refinement_trains(tmp_path):
+    """The magic3d refinement stage optimizes a DMTet mesh through the
+    rasterizer (SDS on rgb + normal consistency, magic3d.py:76-81)."""
+    from dreammat_tpu.utils.config import load_config
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "dreamfusion_tiny.yaml"),
+        cli_args=[
+            "system_type=magic3d-system",
+            "system.prompt_processor.prompt=a stone hamburger",
+            "system.refinement=true",
+            "system.geometry_type=tetrahedra-sdf-grid",
+            "system.geometry!={radius: 1.0, isosurface_resolution: 12, max_crossing_tets: 2048, shape_init: sphere, shape_init_params: 0.5, n_feature_dims: 3, pos_encoding_config: {otype: HashGrid, n_levels: 2, n_features_per_level: 2, log2_hashmap_size: 8, base_resolution: 4, per_level_scale: 1.5}, mlp_network_config: {n_neurons: 8, n_hidden_layers: 1}}",
+            "system.renderer_type=nvdiff-rasterizer",
+            "system.renderer!={radius: 1.0, sdf_opacity_samples: 8, face_chunk: 512}",
+            "system.material_type=no-material",
+            "system.material!={n_output_dims: 3}",
+            "system.background_type=solid-color-background",
+            "system.background!={}",
+            "system.loss!={lambda_sds: 1.0, lambda_normal_consistency: 1000.0}",
+            f"exp_root_dir={tmp_path}/outputs",
+        ],
+    )
+    system = dreammat_tpu.find(cfg.system_type)(cfg.system)
+    dm = dreammat_tpu.find(cfg.data_type)(cfg.data, system.renderer, system.material)
+    dm.setup()
+    state = system.fit(
+        dm, max_steps=2, seed=0, trial_dir=cfg.trial_dir,
+        val_check_interval=0, checkpoint_every=0, log_every=1,
+    )
+    assert int(state["step"]) == 2
+    p0 = system.geometry.init(jax.random.PRNGKey(0))
+    assert not np.allclose(np.asarray(state["geo"]["sdf"]), np.asarray(p0["sdf"]))

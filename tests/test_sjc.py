@@ -73,12 +73,34 @@ def test_sjc_var_red_identity():
     assert np.allclose(np.asarray(grad), np.asarray(eps - noise), atol=1e-5)
 
 
-def test_magic3d_registered_and_refinement_raises():
+def test_magic3d_refinement_switches_to_dmtet():
     assert dreammat_tpu.find("magic3d-system") is not None
-    with pytest.raises(NotImplementedError):
-        dreammat_tpu.find("magic3d-system")(
-            {"refinement": True, "prompt_processor": {"prompt": "x"}}
-        )
+    sys_ = dreammat_tpu.find("magic3d-system")(
+        {
+            "refinement": True,
+            "prompt_processor": {"model_size": "tiny", "prompt": "x",
+                                 "use_cache": False},
+            "guidance": {"model_size": "tiny", "half_precision_weights": False,
+                         "use_controlnet": False, "cache_dir": None,
+                         "width": 24, "height": 24},
+            "geometry": {"isosurface_resolution": 8, "max_crossing_tets": 512,
+                         "shape_init": "sphere", "shape_init_params": 0.5,
+                         "pos_encoding_config": {
+                             "otype": "HashGrid", "n_levels": 2,
+                             "n_features_per_level": 2,
+                             "log2_hashmap_size": 8, "base_resolution": 4,
+                             "per_level_scale": 1.5},
+                         "mlp_network_config": {"n_neurons": 8,
+                                                "n_hidden_layers": 1}},
+            "material_type": "no-material",
+            "material": {"n_output_dims": 3},
+            "background_type": "solid-color-background",
+            "renderer": {"sdf_opacity_samples": 8, "face_chunk": 512},
+        }
+    )
+    # refinement stage auto-switches to the explicit DMTet + rasterizer
+    assert sys_.cfg.geometry_type == "tetrahedra-sdf-grid"
+    assert sys_.cfg.renderer_type == "nvdiff-rasterizer"
 
 
 def test_sjc_system_trains(tmp_path):
