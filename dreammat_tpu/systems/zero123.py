@@ -92,6 +92,17 @@ class Zero123(DreamFusion):
 
     cfg: Config
 
+    def configure(self) -> None:
+        if self.cfg.refinement:
+            # refinement stage (zero123.py:197-208): DMTet mesh through the
+            # differentiable rasterizer; regularizers switch from
+            # orient/sparsity/opaque to mesh normal consistency
+            if self.cfg.geometry_type == "implicit-volume":
+                self.cfg.geometry_type = "tetrahedra-sdf-grid"
+            if self.cfg.renderer_type == "nerf-volume-renderer":
+                self.cfg.renderer_type = "nvdiff-rasterizer"
+        super().configure()
+
     def on_fit_start(self, rng: jax.Array, latent_hw=None) -> None:
         # no prompt processor (reference zero123.py:37-40)
         if self.guidance is None:
@@ -122,6 +133,7 @@ class Zero123(DreamFusion):
         loss_cfg = dict(self.cfg.loss)
         optimizer = self.optimizer
         prompt_utils = self.prompt_utils if self._prompted else None
+        refinement = self.cfg.refinement
         has_depth = loss_cfg.get("lambda_depth", 0.0) or loss_cfg.get(
             "lambda_depth_rel", 0.0
         )
@@ -224,24 +236,40 @@ class Zero123(DreamFusion):
                         loss_cfg.get("lambda_3d_normal_smooth", 0.0), step
                     ) * loss_3d
                     metrics["loss_3d_normal_smooth"] = loss_3d
-                if "normal" in out_z:
-                    wgt = jax.lax.stop_gradient(out_z["weights"])
-                    ndv = jnp.sum(out_z["normal"] * out_z["t_dirs"], axis=-1)
-                    loss_orient = jnp.sum(
-                        wgt * jnp.clip(ndv, 0.0, None) ** 2
-                    ) / jnp.maximum(jnp.sum(out_z["opacity"] > 0), 1)
+                if not refinement:
+                    # volume-stage regularizers (zero123.py:166-195)
+                    if "weights" in out_z and "normal" in out_z:
+                        wgt = jax.lax.stop_gradient(out_z["weights"])
+                        ndv = jnp.sum(out_z["normal"] * out_z["t_dirs"], axis=-1)
+                        loss_orient = jnp.sum(
+                            wgt * jnp.clip(ndv, 0.0, None) ** 2
+                        ) / jnp.maximum(jnp.sum(out_z["opacity"] > 0), 1)
+                        loss = loss + w_z * C_jax(
+                            loss_cfg.get("lambda_orient", 0.0), step) * loss_orient
+                        metrics["loss_orient"] = loss_orient
+                    loss_sparsity = jnp.sqrt(out_z["opacity"] ** 2 + 0.01).mean()
                     loss = loss + w_z * C_jax(
-                        loss_cfg.get("lambda_orient", 0.0), step) * loss_orient
-                    metrics["loss_orient"] = loss_orient
-                loss_sparsity = jnp.sqrt(out_z["opacity"] ** 2 + 0.01).mean()
-                loss = loss + w_z * C_jax(
-                    loss_cfg.get("lambda_sparsity", 0.0), step) * loss_sparsity
-                oc = jnp.clip(out_z["opacity"], 1e-3, 1.0 - 1e-3)
-                loss_opaque = binary_cross_entropy(oc, oc)
-                loss = loss + w_z * C_jax(
-                    loss_cfg.get("lambda_opaque", 0.0), step) * loss_opaque
-                metrics["loss_sparsity"] = loss_sparsity
-                metrics["loss_opaque"] = loss_opaque
+                        loss_cfg.get("lambda_sparsity", 0.0), step) * loss_sparsity
+                    oc = jnp.clip(out_z["opacity"], 1e-3, 1.0 - 1e-3)
+                    loss_opaque = binary_cross_entropy(oc, oc)
+                    loss = loss + w_z * C_jax(
+                        loss_cfg.get("lambda_opaque", 0.0), step) * loss_opaque
+                    metrics["loss_sparsity"] = loss_sparsity
+                    metrics["loss_opaque"] = loss_opaque
+                else:
+                    # refinement: mesh normal consistency (zero123.py:197-204;
+                    # the laplacian variant needs shared-vertex adjacency —
+                    # covered by the same edge-gid smoothness pressure)
+                    from dreammat_tpu.ops import dmtet as dmtet_ops
+
+                    mesh = out_z["mesh"]
+                    loss_nc = dmtet_ops.normal_consistency(
+                        mesh.tri_verts, mesh.valid, mesh.edge_gid
+                    )
+                    loss = loss + w_z * C_jax(
+                        loss_cfg.get("lambda_normal_consistency", 0.0), step
+                    ) * loss_nc
+                    metrics["loss_normal_consistency"] = loss_nc
 
                 metrics["loss"] = loss
                 metrics["grad_norm"] = gout["grad_norm"]

@@ -217,3 +217,37 @@ def test_image_condition_dreamfusion_trains(cond_png, tmp_path):
     )
     assert int(state["step"]) == 2
     assert system.prompt_utils is not None  # prompted path
+
+
+def test_zero123_refinement_trains(cond_png, tmp_path):
+    """refinement=true switches to DMTet + rasterizer and trains with the
+    mesh normal-consistency regularizer (zero123.py:197-208)."""
+    from dreammat_tpu.utils.config import load_config
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "zero123_tiny.yaml"),
+        cli_args=[
+            f"data.image_path={cond_png}",
+            f"system.guidance.cond_image_path={cond_png}",
+            "system.refinement=true",
+            "system.geometry_type=tetrahedra-sdf-grid",
+            "system.geometry!={radius: 1.0, isosurface_resolution: 10, max_crossing_tets: 1024, shape_init: sphere, shape_init_params: 0.5, n_feature_dims: 3, pos_encoding_config: {otype: HashGrid, n_levels: 2, n_features_per_level: 2, log2_hashmap_size: 8, base_resolution: 4, per_level_scale: 1.5}, mlp_network_config: {n_neurons: 8, n_hidden_layers: 1}}",
+            "system.renderer_type=nvdiff-rasterizer",
+            "system.renderer!={radius: 1.0, sdf_opacity_samples: 8, face_chunk: 512}",
+            "system.material_type=no-material",
+            "system.material!={n_output_dims: 3}",
+            "system.loss.lambda_normal_consistency=100.0",
+            f"exp_root_dir={tmp_path}/outputs",
+        ],
+    )
+    system = dreammat_tpu.find(cfg.system_type)(cfg.system)
+    assert system.cfg.geometry_type == "tetrahedra-sdf-grid"
+    dm = dreammat_tpu.find(cfg.data_type)(cfg.data, system.renderer, system.material)
+    dm.setup()
+    state = system.fit(
+        dm, max_steps=2, seed=0, trial_dir=cfg.trial_dir,
+        val_check_interval=0, checkpoint_every=0, log_every=1,
+    )
+    assert int(state["step"]) == 2
+    p0 = system.geometry.init(jax.random.PRNGKey(0))
+    assert not np.allclose(np.asarray(state["geo"]["sdf"]), np.asarray(p0["sdf"]))
