@@ -50,9 +50,39 @@ def _t5_key(path: Tuple[str, ...]) -> str:
     raise KeyError(f"unmapped t5 path {path}")
 
 
+def _clip_vision_key(path: Tuple[str, ...]) -> str:
+    """Our flax CLIPVisionModel tree -> HF CLIPVisionModelWithProjection
+    keys (clip_vision.py layout). Note HF's literal 'pre_layrnorm' typo."""
+    if path == ("patch_embedding", "kernel"):
+        return "vision_model.embeddings.patch_embedding.weight"
+    if path == ("class_embedding",):
+        return "vision_model.embeddings.class_embedding"
+    if path == ("position_embedding",):
+        return "vision_model.embeddings.position_embedding.weight"
+    if path[0] == "pre_layernorm":
+        return f"vision_model.pre_layrnorm.{'weight' if path[1] == 'scale' else 'bias'}"
+    if path[0] == "post_layernorm":
+        return f"vision_model.post_layernorm.{'weight' if path[1] == 'scale' else 'bias'}"
+    if path == ("visual_projection", "kernel"):
+        return "visual_projection.weight"
+    m = re.match(r"layers_(\d+)", path[0])
+    if m:
+        n, rest = m.group(1), path[1:]
+        leaf = "weight" if rest[-1] in ("kernel", "scale") else "bias"
+        mod = rest[0]
+        if mod in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            mod = "self_attn." + mod
+        elif mod in ("fc1", "fc2"):
+            mod = "mlp." + mod
+        return f"vision_model.encoder.layers.{n}.{mod}.{leaf}"
+    raise KeyError(f"unmapped clip_vision path {path}")
+
+
 def _flax_path_to_torch_key(path: Tuple[str, ...], model_type: str) -> str:
     if model_type == "t5":
         return _t5_key(path)
+    if model_type == "clip_vision":
+        return _clip_vision_key(path)
     *mods, leaf = path
     if model_type == "clip" and leaf == "position_embedding" and not mods:
         return "text_model.embeddings.position_embedding.weight"

@@ -70,6 +70,10 @@ class Zero123Guidance(BaseObject):
     @dataclass
     class Config:
         pretrained_model_name_or_path: str = "load/zero123/105000.ckpt"
+        # diffusers-layout cache dir with unet/ vae/ vision/ subfolders
+        # (the LDM single-file ckpt must be pre-split; the converter's
+        # unet/vae/clip_vision key maps cover the rest)
+        cache_dir: Optional[str] = "model/zero123"
         cond_image_path: str = ""
         cond_elevation_deg: float = 0.0
         cond_azimuth_deg: float = 0.0
@@ -151,6 +155,22 @@ class Zero123Guidance(BaseObject):
             "w": jnp.concatenate([w_img, w_pose], axis=0),
             "b": jnp.zeros((cross,)),
         }
+
+        # real weights when provided (none ship in this image; the
+        # architecture + key maps make ingestion a file drop)
+        if cfg.cache_dir and os.path.isdir(str(cfg.cache_dir)):
+            for sub, key, mtype in (
+                ("unet", "unet", "unet"), ("vae", "vae", "vae"),
+                ("vision", "vision", "clip_vision"),
+            ):
+                d = os.path.join(cfg.cache_dir, sub)
+                ckpt = convert.find_checkpoint_file(d) if os.path.isdir(d) else None
+                if ckpt:
+                    sd = convert.load_torch_state_dict(ckpt)
+                    params[key] = convert.torch_to_flax_params(
+                        sd, params[key], mtype, strict=False
+                    )
+                    dreammat_tpu.info("loaded zero123 %s from %s", key, ckpt)
 
         if cond_rgb is None:
             if cfg.cond_image_path and os.path.exists(cfg.cond_image_path):

@@ -135,3 +135,32 @@ def test_dreamfusion_with_deepfloyd_guidance(tmp_path):
     assert int(state["step"]) == 2
     leaves = jax.tree_util.tree_leaves(state["geo"])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_clip_vision_key_mapping_roundtrip():
+    """clip_vision converter coverage: every flax param maps to an HF
+    CLIPVisionModelWithProjection key and roundtrips bit-exact."""
+    from dreammat_tpu.models.diffusion import convert
+    from dreammat_tpu.models.diffusion.clip_vision import (
+        CLIPVisionConfig, CLIPVisionModel,
+    )
+
+    cfg = CLIPVisionConfig.tiny()
+    model = CLIPVisionModel(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+    )
+    shapes = convert.flax_key_shapes(params, "clip_vision")
+    keys = set(shapes)
+    assert "vision_model.embeddings.patch_embedding.weight" in keys
+    assert "vision_model.embeddings.class_embedding" in keys
+    assert "vision_model.pre_layrnorm.weight" in keys  # HF's literal typo
+    assert "vision_model.encoder.layers.0.self_attn.q_proj.weight" in keys
+    assert "vision_model.encoder.layers.1.mlp.fc2.bias" in keys
+    assert "visual_projection.weight" in keys
+    sd = convert.flax_to_torch_state_dict(params, "clip_vision")
+    params2 = convert.torch_to_flax_params(sd, params, "clip_vision", strict=True)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
