@@ -18,7 +18,14 @@ substeps trace into ONE jitted train step:
   normal-equation solve under the mask (stop-gradient, like the
   reference's ``torch.linalg.lstsq`` under no_grad), the relative-depth
   Pearson and the normal cosine are mask-weighted moments — no boolean
-  indexing, fixed shapes, TPU-friendly.
+  indexing, fixed shapes, TPU-friendly;
+- shading augmentation: the reference threads ``ambient_ratio`` (1.0 on
+  the reference view, random in [ambient_ratio_min, 1] on guidance
+  views, zero123.py:62-73) through the renderer into the material. Here
+  the diffuse-point-light material owns that augmentation
+  (``soft_shading`` samples the ambient/diffuse mix per step inside the
+  jit) — ``ambient_ratio_min`` is accepted for config parity and the
+  randomization is delegated to the material.
 """
 
 from __future__ import annotations
