@@ -99,8 +99,37 @@ class MeshRasterizer(BaseObject):
 
     # -- hard hit pass (stop-grad ids) ----------------------------------------
     def _cast(self, rays_o, rays_d, tri, valid):
-        """Nearest hit over the face soup: chunked brute force. Returns
-        (hit_id [N], hit [N])."""
+        """Nearest hit over the face soup. On TPU this routes through the
+        Pallas tiled dense caster (ops/bvh.py — VMEM running-min, tile-AABB
+        cull, Morton ray reorder; the same kernel that casts the DreamMat
+        G-buffers) by wrapping the soup as a single-node FlatBVH; invalid
+        slots are all-zero triangles, which the caster's degenerate-plane
+        check masks to id -1. Elsewhere (CPU tests): chunked Möller-
+        Trumbore scan. Returns (hit_id [N], hit [N])."""
+        if jax.default_backend() == "tpu":
+            from dreammat_tpu.ops import bvh as bvh_lib
+
+            F = tri.shape[0]
+            v0 = tri[:, 0]
+            e1 = tri[:, 1] - v0
+            e2 = tri[:, 2] - v0
+            tid = jnp.where(valid, jnp.arange(F, dtype=jnp.int32), -1)
+            r = self.cfg.radius
+            soup = bvh_lib.FlatBVH(
+                jnp.asarray([[-r, -r, -r]], jnp.float32),
+                jnp.asarray([[r, r, r]], jnp.float32),
+                jnp.asarray([-1], jnp.int32),
+                jnp.zeros((1,), jnp.int32),
+                jnp.asarray([F], jnp.int32),
+                v0, e1, e2, tid,
+                jnp.zeros((1, 9), jnp.float32),
+                jnp.concatenate(
+                    [v0, e1, e2, tid[:, None].astype(jnp.float32)], axis=1
+                ),
+            )
+            out = bvh_lib.cast_rays_dense_pallas(soup, rays_o, rays_d)
+            hit = out["face"] >= 0
+            return jax.lax.stop_gradient(jnp.clip(out["face"], 0, F - 1)), hit
         F = tri.shape[0]
         C = min(self.cfg.face_chunk, F)
         pad = (-F) % C

@@ -83,3 +83,53 @@ def test_normal_consistency_smooth_vs_noisy():
         )
     )(sdf)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_device_vs_host_extractor_agree():
+    """The fixed-budget device extractor and the host marching-tets tool
+    (ops/marching.py) are built from the same tet split/case tables: on
+    the same field they must produce the same face count and surface
+    area (orientation and vertex sharing aside)."""
+    from dreammat_tpu.ops.marching import marching_tets_grid
+
+    res = 10
+    lat = dmtet.build_tet_lattice(res)
+    verts = jnp.asarray(lat.verts) * 2.0 - 1.0
+    sdf = 0.45 - jnp.linalg.norm(verts, axis=-1)
+
+    out = dmtet.marching_tets_fixed(sdf, verts, jnp.asarray(lat.tets), 4096)
+    v = np.asarray(out.valid)
+    tv = np.asarray(out.tri_verts)[v]
+    area_dev = float(
+        0.5 * np.linalg.norm(
+            np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]), axis=-1
+        ).sum()
+    )
+
+    xs = np.linspace(-1.0, 1.0, res + 1, dtype=np.float32)
+    # host tool extracts the zero set of `field` with inside = negative
+    field = -np.asarray(sdf).reshape(res + 1, res + 1, res + 1)
+    hv, hf = marching_tets_grid(field, xs)
+    p = hv[hf]
+    area_host = float(
+        0.5 * np.linalg.norm(
+            np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]), axis=-1
+        ).sum()
+    )
+    assert v.sum() == len(hf)
+    assert abs(area_dev - area_host) / area_host < 1e-4
+    # both approximate the analytic sphere area
+    assert abs(area_dev - 4 * np.pi * 0.45 ** 2) / (4 * np.pi * 0.45 ** 2) < 0.1
+
+
+def test_budget_truncation_keeps_valid_subset():
+    """When crossing tets exceed the budget, a fixed subset is kept (all
+    output slots valid) rather than erroring — downstream consumers mask,
+    so a too-small budget degrades coverage, not correctness."""
+    lat, verts, sdf = _sphere_setup(res=12)
+    small = dmtet.marching_tets_fixed(sdf, verts, jnp.asarray(lat.tets), 64)
+    assert int(small.valid.sum()) > 0
+    assert small.tri_verts.shape == (128, 3, 3)
+    tv = np.asarray(small.tri_verts)[np.asarray(small.valid)]
+    d = np.linalg.norm(tv.reshape(-1, 3), axis=-1)
+    assert np.abs(d - 0.3).max() < 2.0 / 12  # still on the surface
