@@ -93,3 +93,44 @@ def test_export_obj(tiny_run):
     mtl = os.path.join(os.path.dirname(out), "model.mtl")
     mtl_txt = open(mtl).read()
     assert "map_Kd" in mtl_txt and "map_Pm" in mtl_txt and "map_Pr" in mtl_txt
+
+
+def test_hybrid_mc_training(tmp_path):
+    """Two steps with hybrid_mc_every=2: step 0 shades exact-MC (no
+    table), step 1 uses the tables — both variants of the jitted train
+    step run in one fit."""
+    import dreammat_tpu
+    from dreammat_tpu.models.mesh import make_icosphere
+    from dreammat_tpu.utils.config import load_config
+
+    m = make_icosphere(1)
+    obj = tmp_path / "sphere.obj"
+    with open(obj, "w") as f:
+        for v in np.asarray(m.v_pos):
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for tri in np.asarray(m.t_pos_idx):
+            f.write(f"f {tri[0]+1} {tri[1]+1} {tri[2]+1}\n")
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "dreammat_tiny.yaml"),
+        cli_args=[
+            "system.prompt_processor.prompt=a red apple",
+            f"system.geometry.shape_init=mesh:{obj}",
+            f"exp_root_dir={tmp_path}/outputs",
+            "data.hybrid_mc_every=2",
+            "trainer.max_steps=2",
+        ],
+    )
+    system = dreammat_tpu.find(cfg.system_type)(cfg.system)
+    dm = dreammat_tpu.find(cfg.data_type)(cfg.data, system.renderer, system.material)
+    dm.setup()
+    assert dm.data.table_spec is not None  # tables exist; interleave skips them
+    state = system.fit(
+        dm, max_steps=2, seed=0, trial_dir=cfg.trial_dir,
+        val_check_interval=0, checkpoint_every=0, log_every=1,
+    )
+    assert int(state["step"]) == 2
+    leaves = np.concatenate([
+        np.asarray(l).ravel()
+        for l in __import__("jax").tree_util.tree_leaves(state["geo"])
+    ])
+    assert np.isfinite(leaves).all()
