@@ -21,7 +21,7 @@ import gzip
 import json
 import os
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -24,7 +24,7 @@ render-derived preprocessing instead of the light-probe ControlNet:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

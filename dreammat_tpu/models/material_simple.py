@@ -29,7 +29,6 @@ import jax.numpy as jnp
 
 import dreammat_tpu
 from dreammat_tpu.utils.base import BaseObject
-from dreammat_tpu.utils.schedule import C_jax
 
 
 @dreammat_tpu.register("diffuse-with-point-light-material")

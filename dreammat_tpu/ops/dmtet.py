@@ -27,7 +27,7 @@ TPU-first redesign of the ragged parts:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ Both stages are one jitted train step each.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -18,9 +18,8 @@ one jitted function shared across frames (targets are traced inputs).
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,14 +19,13 @@ raytracer does not provide — it raises, like magic3d.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import optax
 
 import dreammat_tpu
-from dreammat_tpu.systems.dreamfusion import DreamFusion, binary_cross_entropy
+from dreammat_tpu.systems.dreamfusion import DreamFusion
 from dreammat_tpu.utils.schedule import C_jax
 
 

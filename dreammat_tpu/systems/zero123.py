@@ -30,13 +30,10 @@ substeps trace into ONE jitted train step:
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 import dreammat_tpu

@@ -20,7 +20,6 @@ toolbox (/root/reference/threestudio_dreammat/threestudio/utils/GAN/):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
