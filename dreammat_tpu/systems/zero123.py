@@ -157,12 +157,32 @@ class Zero123(DreamFusion):
                 metrics = {}
                 loss = 0.0
 
-                # ---- reference-view substep (zero123.py:89-134) ----
-                out_r = renderer.render_rays(
+                # ---- BOTH substeps in ONE batched render dispatch ----
+                # The reference renders the two views sequentially; the
+                # sample grids are identical fixed shapes, so concatenating
+                # the ray sets doubles the per-dispatch batch (better MXU/
+                # VPU utilization, halves launch overhead) and splitting
+                # the ray-dim outputs recovers the substeps exactly.
+                n_ref = ref_rays_o.shape[0]
+                out_all = renderer.render_rays(
                     params["geo"], params["bg"], state["render"],
-                    ref_rays_o, ref_rays_d, ref_light, k_ref,
-                    step=step, is_train=True,
+                    jnp.concatenate([ref_rays_o, z_rays_o]),
+                    jnp.concatenate([ref_rays_d, z_rays_d]),
+                    jnp.concatenate([ref_light, z_light]),
+                    k_ref, step=step, is_train=True,
                 )
+                n_all = n_ref + z_rays_o.shape[0]
+                out_r, out_z = {}, {}
+                for key, val in out_all.items():
+                    if hasattr(val, "shape") and val.ndim >= 1 and \
+                            val.shape[0] == n_all:
+                        out_r[key] = val[:n_ref]
+                        out_z[key] = val[n_ref:]
+                    else:
+                        out_r[key] = val
+                        out_z[key] = val
+
+                # ---- reference-view substep (zero123.py:89-134) ----
                 m = gt_mask.reshape(-1)
                 # gt composited over the model's own background (:93-97)
                 gt_c = gt_rgb.reshape(-1, 3) * m[:, None] + \
@@ -202,11 +222,6 @@ class Zero123(DreamFusion):
                     metrics["loss_normal"] = loss_normal
 
                 # ---- zero123 SDS substep (zero123.py:135-144) ----
-                out_z = renderer.render_rays(
-                    params["geo"], params["bg"], state["render"],
-                    z_rays_o, z_rays_d, z_light, k_z,
-                    step=step, is_train=True,
-                )
                 rgb = out_z["comp_rgb"].reshape(1, z_height, z_width, 3)
                 if prompt_utils is not None:
                     gout = guidance(
