@@ -86,12 +86,28 @@ class Magic123(DreamFusion):
 
             def loss_fn(params):
                 metrics = {}
-                # reference view (:60-74)
-                out_r = renderer.render_rays(
+                # both views in ONE batched render (same fusion as the
+                # zero123 step: identical fixed shapes, split after)
+                n_ref = ref_rays_o.shape[0]
+                out_all = renderer.render_rays(
                     params["geo"], params["bg"], state["render"],
-                    ref_rays_o, ref_rays_d, ref_light, k_ref,
-                    step=step, is_train=True,
+                    jnp.concatenate([ref_rays_o, z_rays_o]),
+                    jnp.concatenate([ref_rays_d, z_rays_d]),
+                    jnp.concatenate([ref_light, z_light]),
+                    k_ref, step=step, is_train=True,
                 )
+                n_all = n_ref + z_rays_o.shape[0]
+                out_r, out = {}, {}
+                for key, val in out_all.items():
+                    if hasattr(val, "shape") and val.ndim >= 1 and \
+                            val.shape[0] == n_all:
+                        out_r[key] = val[:n_ref]
+                        out[key] = val[n_ref:]
+                    else:
+                        out_r[key] = val
+                        out[key] = val
+
+                # reference view (:60-74)
                 m = gt_mask.reshape(-1)
                 gt_c = gt_rgb.reshape(-1, 3) * m[:, None] + \
                     out_r["comp_rgb_bg"] * (1.0 - m[:, None])
@@ -108,11 +124,6 @@ class Magic123(DreamFusion):
                 metrics["loss_mask"] = loss_mask
 
                 # random view, both priors (:45-88)
-                out = renderer.render_rays(
-                    params["geo"], params["bg"], state["render"],
-                    z_rays_o, z_rays_d, z_light, k_z,
-                    step=step, is_train=True,
-                )
                 rgb = out["comp_rgb"].reshape(1, z_height, z_width, 3)
                 g2 = guidance(
                     guidance_params, rgb, prompt_utils,
