@@ -90,6 +90,7 @@ def _unet_down_mid(
     cross: int,
     temb: int,
     in_channels: int,
+    linear_proj: bool = True,
 ) -> None:
     """Shared UNet/ControlNet trunk: conv_in + time_embedding + down + mid."""
     _conv(m, "conv_in", block_out[0], in_channels, 3)
@@ -101,13 +102,15 @@ def _unet_down_mid(
         for j in range(layers_per_block):
             _resnet(m, f"{p}.resnets.{j}", ch if j == 0 else cout, cout, temb)
             if has_attn[i]:
-                _transformer2d(m, f"{p}.attentions.{j}", cout, cross)
+                _transformer2d(m, f"{p}.attentions.{j}", cout, cross,
+                               linear_proj=linear_proj)
         if i != len(block_out) - 1:
             _conv(m, f"{p}.downsamplers.0.conv", cout, cout, 3)
         ch = cout
     c = block_out[-1]
     _resnet(m, "mid_block.resnets.0", c, c, temb)
-    _transformer2d(m, "mid_block.attentions.0", c, cross)
+    _transformer2d(m, "mid_block.attentions.0", c, cross,
+                   linear_proj=linear_proj)
     _resnet(m, "mid_block.resnets.1", c, c, temb)
 
 
@@ -118,11 +121,14 @@ def unet_manifest(
     layers_per_block: int = 2,
     has_attn: Tuple[bool, ...] = (True, True, True, False),
     cross: int = 1024,
+    linear_proj: bool = True,
 ) -> Manifest:
-    """diffusers UNet2DConditionModel (SD2.1-base config)."""
+    """diffusers UNet2DConditionModel (SD2.1-base config; SD1.x-style
+    models — zero123/ip2p — use conv projections, linear_proj=False)."""
     m: Manifest = {}
     temb = block_out[0] * 4
-    _unet_down_mid(m, block_out, layers_per_block, has_attn, cross, temb, in_channels)
+    _unet_down_mid(m, block_out, layers_per_block, has_attn, cross, temb,
+                   in_channels, linear_proj=linear_proj)
 
     # up path: diffusers UNet2DConditionModel.__init__ channel arithmetic
     rev = list(reversed(block_out))
@@ -139,7 +145,8 @@ def unet_manifest(
             res_in = prev_output if j == 0 else output_channel
             _resnet(m, f"{p}.resnets.{j}", res_in + res_skip, output_channel, temb)
             if rev_attn[i]:
-                _transformer2d(m, f"{p}.attentions.{j}", output_channel, cross)
+                _transformer2d(m, f"{p}.attentions.{j}", output_channel, cross,
+                               linear_proj=linear_proj)
         if not is_final:
             _conv(m, f"{p}.upsamplers.0.conv", output_channel, output_channel, 3)
 

@@ -187,3 +187,34 @@ class TestNumericStrictRoundtrip:
         back = convert.flax_to_torch_state_dict(params, mtype)
         for k in man:
             np.testing.assert_allclose(back[k], sd[k])
+
+
+class TestImageConditionedUNets:
+    """Key+shape bijection for the SD1.x-style UNets of the image
+    families: zero123 (8-ch input, 768 cross, conv projections) and
+    InstructPix2Pix (same shape class) — day-1 ingestion for those
+    checkpoints is the same file-drop exercise as SD2.1."""
+
+    def _check(self, ucfg, cross, in_ch, out_ch):
+        tpl = jax.eval_shape(
+            lambda: UNet2DCondition(ucfg).init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, in_ch)),
+                jnp.zeros((1,)), jnp.zeros((1, 4, cross)),
+            )
+        )
+        flax_shapes = convert.flax_key_shapes(tpl, "unet")
+        man = manifest.unet_manifest(
+            in_channels=in_ch, out_channels=out_ch,
+            cross=cross, linear_proj=False,
+        )
+        _assert_bijection(flax_shapes, man)
+
+    def test_zero123_unet(self):
+        from dreammat_tpu.models.guidance_zero123 import zero123_unet_config
+
+        self._check(zero123_unet_config(), 768, 8, 4)
+
+    def test_ip2p_unet(self):
+        from dreammat_tpu.models.guidance_ip2p import ip2p_unet_config
+
+        self._check(ip2p_unet_config(), 768, 8, 4)
