@@ -2,13 +2,10 @@
 (train -> test renders -> export), same surface as the dreammat path."""
 
 import os
-import sys
-
 import pytest
 
 
 def _run_launch(argv):
-    sys.argv_backup = list(sys.argv)
     import launch
 
     launch.main(argv)
