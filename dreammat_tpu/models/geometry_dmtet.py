@@ -9,7 +9,9 @@ extracts a differentiable triangle mesh via marching tets
 kaolin compaction); an optional hashgrid+MLP feature field colors the
 surface. ``shape_init`` fits the SDF grid to a sphere/ellipsoid
 analytically (direct assignment — the grid IS the SDF, no optimization
-needed, unlike the implicit-sdf MLP fit).
+needed, unlike the implicit-sdf MLP fit); ``mesh:<path>`` bakes the
+exact winding-number/point-triangle signed distance at the lattice
+verts (``ops/shape_loss.py``, replacing the reference's pysdf oracle).
 
 Sign convention: kaolin/DMTet inside-positive (reference isosurface.py
 feeds ``-sdf``? No — the reference's ImplicitSDF is inside-negative and
@@ -61,7 +63,7 @@ class TetrahedraSDFGrid(BaseObject):
                 "n_neurons": 64, "n_hidden_layers": 1,
             }
         )
-        shape_init: Optional[str] = None       # "sphere" | "ellipsoid"
+        shape_init: Optional[str] = None  # "sphere" | "ellipsoid" | "mesh:<path>"
         shape_init_params: Any = 0.5
         geometry_only: bool = False
         fix_geometry: bool = False
@@ -119,11 +121,30 @@ class TetrahedraSDFGrid(BaseObject):
             # small random init around zero (reference zeros + later init;
             # pure zeros would have NO crossings at all)
             sdf = 0.1 * jax.random.normal(k1, (Nv,))
-        else:
-            raise NotImplementedError(
-                f"shape_init {cfg.shape_init!r} (mesh init needs a mesh SDF "
-                "bake; sphere/ellipsoid supported)"
+        elif cfg.shape_init.startswith("mesh:"):
+            # one-time exact SDF bake at the lattice verts (winding-number
+            # sign + point-triangle distance), replacing the reference's
+            # pysdf oracle (tetrahedra_sdf_grid.py mesh branch); this
+            # geometry is inside-POSITIVE (kaolin sign)
+            from dreammat_tpu.models.mesh import load_mesh
+            from dreammat_tpu.ops.shape_loss import mesh_signed_distance
+
+            m = load_mesh(
+                cfg.shape_init[5:],
+                scale=float(
+                    cfg.shape_init_params
+                    if not hasattr(cfg.shape_init_params, "__len__")
+                    else cfg.shape_init_params[0]
+                ),
+                mesh_up=cfg.shape_init_mesh_up,
+                mesh_front=cfg.shape_init_mesh_front,
             )
+            tri = m.v_pos[m.t_pos_idx]
+            sdf = mesh_signed_distance(
+                self.lattice_verts, tri, inside_positive=True
+            )
+        else:
+            raise ValueError(f"Unknown shape initialization type: {cfg.shape_init!r}")
         params: Dict[str, Any] = {"sdf": sdf}
         if cfg.isosurface_deformable_grid and not cfg.fix_geometry:
             params["deformation"] = jnp.zeros((Nv, 3))

@@ -9,9 +9,10 @@ closed shape, and finite-difference / analytic normals where the
 *unnormalized* gradient is also returned for the eikonal loss.
 
 ``initialize_shape`` (:91-227) — the reference's pysdf/trimesh pretraining
-loop — is a pure-JAX Adam fit against the analytic target SDF; the
-``mesh:`` target (needs a point-to-surface distance oracle) is not
-supported, matching SURVEY's scoping of pysdf out of the critical path.
+loop — is a pure-JAX Adam fit against the target SDF; the ``mesh:``
+target uses the exact winding-number + point-triangle oracle in
+``ops/shape_loss.py`` instead of pysdf (same normalization and the same
+negative-inside sign, implicit_sdf.py:127-194).
 """
 
 from __future__ import annotations
@@ -39,9 +40,11 @@ class ImplicitSDF(BaseObject):
         # float | "sphere" | "ellipsoid"; analytic pre-activation bias
         sdf_bias: Any = 0.0
         sdf_bias_params: Any = 0.5
-        shape_init: Optional[str] = None  # "sphere" | "ellipsoid" (fit)
+        shape_init: Optional[str] = None  # "sphere" | "ellipsoid" | "mesh:<path>"
         shape_init_params: Any = 0.5
         shape_init_steps: int = 400
+        shape_init_mesh_up: str = "+z"
+        shape_init_mesh_front: str = "+x"
         pos_encoding_config: dict = field(
             default_factory=lambda: {
                 "otype": "HashGrid",
@@ -174,10 +177,27 @@ class ImplicitSDF(BaseObject):
             target = lambda p: jnp.sqrt(
                 jnp.sum((p / size) ** 2, axis=-1, keepdims=True)
             ) - 1.0
+        elif self.cfg.shape_init.startswith("mesh:"):
+            # exact winding-number/point-triangle SDF oracle in place of
+            # the reference's pysdf (implicit_sdf.py:127-194); same
+            # normalization: centroid-center, up/front->+z/+x, max |coord|
+            # scaled to shape_init_params, negative inside
+            from dreammat_tpu.models.mesh import load_mesh
+            from dreammat_tpu.ops.shape_loss import mesh_signed_distance
+
+            m = load_mesh(
+                self.cfg.shape_init[5:],
+                scale=float(self.cfg.shape_init_params),
+                mesh_up=self.cfg.shape_init_mesh_up,
+                mesh_front=self.cfg.shape_init_mesh_front,
+            )
+            tri = m.v_pos[m.t_pos_idx]
+            target = lambda p: mesh_signed_distance(
+                p, tri, inside_positive=False, chunk=p.shape[0]
+            )[:, None]
         else:
-            raise NotImplementedError(
-                f"shape_init {self.cfg.shape_init} not supported (mesh: needs "
-                "a surface-distance oracle; see module docstring)"
+            raise ValueError(
+                f"Unknown shape initialization type: {self.cfg.shape_init}"
             )
 
         opt = optax.adam(1e-3)

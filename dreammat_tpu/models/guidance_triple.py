@@ -16,9 +16,13 @@ render-derived preprocessing instead of the light-probe ControlNet:
   non-max suppression + hysteresis are host-side/sequential; a thresholded
   gradient magnitude is the standard in-graph substitute and feeds the
   canny ControlNet the same edge statistics (documented approximation);
-- ``normal`` (NormalBae) / ``hed``: require pretrained *detector*
-  networks the reference downloads at runtime; they raise with that
-  explanation (weight-gated, like every pretrained asset here).
+- ``hed``: the ControlNetHED network + scribble NMS rebuilt as XLA ops
+  in ``models/detectors.py`` — runs on the RENDERED image in-trace;
+  weight-gated (``hed_weights_path`` loads the real ControlNetHED.pth,
+  random-init otherwise);
+- ``normal`` (NormalBae): requires the pretrained EfficientNet-B5
+  detector the reference downloads at runtime; raises with that
+  explanation — ``self-normal`` covers renderer-derived normals.
 """
 
 from __future__ import annotations
@@ -70,6 +74,8 @@ class StableDiffusionTripleGuidance(StableDiffusionLightGuidance):
         condition_scale: float = 1.5
         canny_lower_bound: int = 50
         canny_upper_bound: int = 100
+        # real ControlNetHED.pth when available; random-init otherwise
+        hed_weights_path: str = ""
         # reference config parity (p2p control path is IP2P-specific)
         p2p_condition_type: str = "p2p"
 
@@ -77,15 +83,25 @@ class StableDiffusionTripleGuidance(StableDiffusionLightGuidance):
 
     def configure(self) -> None:
         for ct in self.cfg.control_types:
-            if ct in ("normal", "hed"):
+            if ct == "normal":
                 raise NotImplementedError(
-                    f"control type {ct!r} needs a pretrained detector "
-                    "(NormalBae/HED) the reference downloads at runtime; "
-                    "use 'self-normal' for renderer-derived normals"
+                    "control type 'normal' needs the pretrained NormalBae "
+                    "detector the reference downloads at runtime; use "
+                    "'self-normal' for renderer-derived normals"
+                )
+        self._hed = None
+        if "hed" in self.cfg.control_types:
+            from dreammat_tpu.models.detectors import load_hed
+
+            self._hed = load_hed(self.cfg.hed_weights_path or None)
+            if not self.cfg.hed_weights_path:
+                dreammat_tpu.info(
+                    "hed control type: no hed_weights_path given — "
+                    "running the detector RANDOM-INIT (plumbing only)"
                 )
         # map the public control types to conditioning channel counts
         self._cn_channels = {"depth": 3, "canny": 3, "self-normal": 3,
-                             "light": 22}
+                             "hed": 3, "light": 22}
         super().configure()
 
     def _image_conditions(self, condition_map, rgb=None):
@@ -113,6 +129,13 @@ class StableDiffusionTripleGuidance(StableDiffusionLightGuidance):
                 image_cond.append(prep(condition_map[..., 0:1], want_channels=3))
             elif ct == "self-normal":
                 image_cond.append(prep(condition_map[..., 1:4]))
+            elif ct == "hed":
+                # reference: HED on the rendered image, scribble binarized
+                # (csd_guidance.py:636-641)
+                hed_maps = jax.vmap(
+                    lambda im: self._hed(im, scribble=True)
+                )(rgb)
+                image_cond.append(prep(hed_maps))
             elif ct == "light":
                 image_cond.append(prep(condition_map))
             else:

@@ -72,15 +72,20 @@ def stable_diffusion_unified_guidance(cfg):
     raise ValueError(f"unknown unified guidance_type {mode!r}")
 
 
+_Z123_VSD_MAP = {
+    "vsd_guidance_scale_phi": "guidance_scale_phi",
+    "vsd_lora_cfg_training": "lora_cfg_training",
+    "vsd_lora_n_timestamp_samples": "lora_n_timestamp_samples",
+    "vsd_camera_condition_type": "camera_condition_type",
+}
+
+
 @dreammat_tpu.register("zero123-unified-guidance")
 def zero123_unified_guidance(cfg):
     cfg = dict(cfg or {})
     mode = cfg.get("guidance_type", "sds")
-    if mode != "sds":
-        raise NotImplementedError(
-            "zero123-unified vsd mode (LoRA phi over the zero123 model) is "
-            "not implemented; sds mode maps to zero123-guidance"
-        )
+    if mode not in ("sds", "vsd"):
+        raise ValueError(f"unknown zero123-unified guidance_type {mode!r}")
     keep = (
         "pretrained_model_name_or_path", "guidance_scale",
         "half_precision_weights", "min_step_percent", "max_step_percent",
@@ -96,10 +101,15 @@ def zero123_unified_guidance(cfg):
             out[k] = v
         elif k == "grad_clip":
             out["grad_clip"] = v
+        elif mode == "vsd" and k in _Z123_VSD_MAP:
+            out[_Z123_VSD_MAP[k]] = v
+        elif k.startswith("vsd_") and mode != "vsd":
+            continue  # vsd-only knobs are inert in sds mode (reference too)
         else:
             dropped.append(k)
     if dropped:
         dreammat_tpu.info(
             "zero123-unified: ignoring torch-mechanics keys %s", dropped
         )
-    return dreammat_tpu.find("zero123-guidance")(out)
+    name = "zero123-vsd-guidance" if mode == "vsd" else "zero123-guidance"
+    return dreammat_tpu.find(name)(out)

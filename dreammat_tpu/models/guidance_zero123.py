@@ -205,8 +205,9 @@ class Zero123Guidance(BaseObject):
         img = self.vae.apply(params["vae"], latents, method=self.vae.decode)
         return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0).astype(jnp.float32)
 
-    def get_cond(self, params, elevation, azimuth, camera_distances):
-        """Relative-pose token (get_cond, :205-254). Angles in degrees."""
+    def _cond_tokens(self, params, elevation, azimuth, camera_distances):
+        """Conditioned (no-CFG) tokens: the image+relative-pose context
+        token [B,1,D] and the clean image latent [B,h,w,4]."""
         cfg = self.cfg
         B = elevation.shape[0]
         d2r = jnp.pi / 180.0
@@ -224,10 +225,18 @@ class Zero123Guidance(BaseObject):
         )
         inp = jnp.concatenate([img_tok, T], axis=-1)
         clip_emb = inp @ params["cc_projection"]["w"] + params["cc_projection"]["b"]
-        context = jnp.concatenate([jnp.zeros_like(clip_emb), clip_emb], axis=0)
         cc = jnp.broadcast_to(
             params["c_concat"], (B, *params["c_concat"].shape[1:])
         )
+        return clip_emb, cc
+
+    def get_cond(self, params, elevation, azimuth, camera_distances):
+        """CFG-stacked conditioning (get_cond, :205-254): row 0 = uncond
+        (zeroed context AND zeroed concat latent), row 1 = cond."""
+        clip_emb, cc = self._cond_tokens(
+            params, elevation, azimuth, camera_distances
+        )
+        context = jnp.concatenate([jnp.zeros_like(clip_emb), clip_emb], axis=0)
         concat = jnp.concatenate([jnp.zeros_like(cc), cc], axis=0)
         return context, concat
 
@@ -291,6 +300,197 @@ class Zero123Guidance(BaseObject):
         loss_sds = 0.5 * jnp.sum((latents - target) ** 2) / B
         return {
             "loss_sds": loss_sds,
+            "grad_norm": jnp.linalg.norm(grad),
+            "min_step": min_step,
+            "max_step": max_step,
+        }
+
+
+@dreammat_tpu.register("zero123-vsd-guidance")
+class Zero123VSDGuidance(Zero123Guidance):
+    """Zero123 VSD: the SDS noise target is replaced by a LoRA-adapted
+    copy of the zero123 UNet trained online on the current render
+    distribution, camera-conditioned through a class embedding.
+
+    TPU-native rebuild of ``zero123-unified-guidance``'s vsd branch
+    (/root/reference/threestudio_dreammat/threestudio/models/guidance/
+    zero123_unified_guidance.py:102-176 phi setup, :409-456 get_eps_phi,
+    :458-511 train_phi, :579-616 forward). Same single-model stance as
+    ``stable-diffusion-vsd-guidance``: the phi branch IS the frozen UNet
+    with low-rank factors merged functionally (the reference's
+    ``vsd_share_model`` path, :110-116), the LoRA pytree + camera
+    embedding are owned by the system and optimized INSIDE the same
+    jitted step, and the 10% camera dropout (:495-499) is a traced
+    bernoulli."""
+
+    @dataclass
+    class Config(Zero123Guidance.Config):
+        guidance_scale_phi: float = 1.0
+        lora_rank: int = 4
+        lora_cfg_training: bool = False
+        lora_n_timestamp_samples: int = 1
+        camera_condition_type: str = "extrinsics"  # | "spherical"
+
+    cfg: Config
+
+    def _camera_dim(self) -> int:
+        # reference :126-133: extrinsics/mvp -> 16, spherical -> 4
+        return 16 if self.cfg.camera_condition_type == "extrinsics" else 4
+
+    def init_lora(self, rng: jax.Array) -> Dict[str, Any]:
+        from dreammat_tpu.models.diffusion import layers as L
+        from dreammat_tpu.models.diffusion import lora as lora_lib
+
+        assert self.params is not None, "init_params first"
+        k1, k2 = jax.random.split(rng)
+        layers = lora_lib.init_lora_params(
+            k1, self.params["unet"], self.cfg.lora_rank
+        )
+        temb_dim = self.unet_cfg.block_out_channels[0] * 4
+        cam_mod = L.TimestepEmbedding(temb_dim, dtype=self.dtype)
+        cam = cam_mod.init(k2, jnp.zeros((1, self._camera_dim()), jnp.float32))
+        dreammat_tpu.info(
+            "zero123 VSD lora: %d sites (rank %d) + camera embedding",
+            len(layers), self.cfg.lora_rank,
+        )
+        return {"layers": layers, "camera_embedding": cam["params"]}
+
+    def _merged_unet_params(self, params, lora_params):
+        from dreammat_tpu.models.diffusion import lora as lora_lib
+
+        merged = lora_lib.merge_lora(params["unet"], lora_params["layers"], 1.0)
+        merged["params"] = dict(
+            merged["params"], class_embedding=lora_params["camera_embedding"]
+        )
+        return merged
+
+    def _camera_condition(self, elevation, azimuth, camera_distances, c2w):
+        if self.cfg.camera_condition_type == "extrinsics":
+            return c2w.reshape(c2w.shape[0], 16).astype(jnp.float32)
+        if self.cfg.camera_condition_type == "spherical":
+            d2r = jnp.pi / 180.0
+            return jnp.stack(
+                [
+                    d2r * elevation,
+                    jnp.sin(d2r * azimuth),
+                    jnp.cos(d2r * azimuth),
+                    camera_distances,
+                ],
+                axis=-1,
+            ).astype(jnp.float32)
+        raise ValueError(
+            f"Unknown camera_condition_type {self.cfg.camera_condition_type}"
+        )
+
+    def __call__(
+        self,
+        params: Dict[str, Any],
+        rgb: jnp.ndarray,
+        elevation: jnp.ndarray,
+        azimuth: jnp.ndarray,
+        camera_distances: jnp.ndarray,
+        c2w: jnp.ndarray = None,
+        lora_params: Dict = None,
+        step=0,
+        rng: Optional[jax.Array] = None,
+        rgb_as_latents: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        assert lora_params is not None
+        B = rgb.shape[0]
+        S = cfg.height
+        lat = S // self.vae_factor
+        k_t, k_noise, k_enc, k_tl, k_nl, k_drop = jax.random.split(rng, 6)
+        sg = jax.lax.stop_gradient
+
+        if rgb_as_latents:
+            latents = jax.image.resize(
+                rgb, (B, lat, lat, rgb.shape[-1]), method="linear"
+            ) * 2.0 - 1.0
+        else:
+            img = jax.image.resize(rgb, (B, S, S, 3), method="linear")
+            latents = self.encode_images(params, img, k_enc)
+
+        min_pct = C_jax(cfg.min_step_percent, step)
+        max_pct = C_jax(cfg.max_step_percent, step)
+        min_step = jnp.round(self.num_train_timesteps * min_pct).astype(jnp.int32)
+        max_step = jnp.round(self.num_train_timesteps * max_pct).astype(jnp.int32)
+        u = jax.random.uniform(k_t, (B,))
+        t = (min_step + u * (max_step - min_step + 1).astype(jnp.float32)).astype(
+            jnp.int32
+        )
+        t = jnp.clip(t, 0, self.num_train_timesteps - 1)
+
+        noise = jax.random.normal(k_noise, latents.shape)
+        latents_noisy = add_noise(self.schedule, latents, noise, t)
+
+        # ---- pretrained branch: zero123 CFG (reference get_eps_pretrain,
+        # :355-407 — uncond zeroes BOTH the context token and the concat
+        # latent) ----
+        context, concat = self.get_cond(
+            params, elevation, azimuth, camera_distances
+        )
+        x_in = jnp.concatenate([latents_noisy] * 2, axis=0)
+        x_in = jnp.concatenate([x_in, concat], axis=-1)
+        t_in = jnp.concatenate([t] * 2, axis=0)
+        eps = sg(
+            self.unet.apply(params["unet"], x_in, t_in, context)
+        ).astype(jnp.float32)
+        eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
+        eps_pretrain = eps_uncond + cfg.guidance_scale * (eps_cond - eps_uncond)
+
+        # ---- phi branch (:409-456): LoRA UNet, camera-CFG through the
+        # class embedding; the concat image latent stays CONDITIONED in
+        # both rows ----
+        clip_emb, cc = self._cond_tokens(
+            params, elevation, azimuth, camera_distances
+        )
+        cam = self._camera_condition(elevation, azimuth, camera_distances, c2w)
+        merged = self._merged_unet_params(params, lora_params)
+        x_phi = jnp.concatenate(
+            [jnp.concatenate([latents_noisy] * 2, axis=0),
+             jnp.concatenate([cc] * 2, axis=0)], axis=-1
+        )
+        cam_in = jnp.concatenate([cam, jnp.zeros_like(cam)], axis=0)
+        eps_p = sg(self.unet.apply(
+            merged, x_phi, t_in,
+            jnp.concatenate([clip_emb] * 2, axis=0), class_labels=cam_in,
+        )).astype(jnp.float32)
+        eps_cam, eps_unc = jnp.split(eps_p, 2, axis=0)
+        eps_phi = eps_unc + cfg.guidance_scale_phi * (eps_cam - eps_unc)
+
+        w = (1.0 - self.schedule["alphas_cumprod"][t]).reshape(-1, 1, 1, 1)
+        grad = w * (eps_pretrain - eps_phi)
+        grad = jnp.nan_to_num(grad)
+        if cfg.grad_clip is not None:
+            clip_val = C_jax(cfg.grad_clip, step)
+            grad = jnp.clip(grad, -clip_val, clip_val)
+
+        target = sg(latents - grad)
+        loss_vsd = 0.5 * jnp.sum((latents - target) ** 2) / B
+
+        # ---- train phi on the current render distribution (:458-511) ----
+        n_ts = cfg.lora_n_timestamp_samples
+        lat_d = jnp.tile(sg(latents), (n_ts, 1, 1, 1))
+        t2 = jax.random.randint(k_tl, (B * n_ts,), 0, self.num_train_timesteps)
+        noise2 = jax.random.normal(k_nl, lat_d.shape)
+        noisy2 = add_noise(self.schedule, lat_d, noise2, t2)
+        cam_l = cam
+        if cfg.lora_cfg_training:
+            drop = jax.random.uniform(k_drop, (B, 1)) < 0.1
+            cam_l = jnp.where(drop, 0.0, cam)
+        eps_pred = self.unet.apply(
+            merged,
+            jnp.concatenate([noisy2, jnp.tile(cc, (n_ts, 1, 1, 1))], axis=-1),
+            t2, jnp.tile(clip_emb, (n_ts, 1, 1)),
+            class_labels=jnp.tile(cam_l, (n_ts, 1)),
+        )
+        loss_lora = jnp.mean((eps_pred.astype(jnp.float32) - noise2) ** 2)
+
+        return {
+            "loss_vsd": loss_vsd,
+            "loss_lora": loss_lora,
+            "loss_sds": loss_vsd,
             "grad_norm": jnp.linalg.norm(grad),
             "min_step": min_step,
             "max_step": max_step,

@@ -282,6 +282,9 @@ class NeRFVolumeRenderer(BaseObject):
             "t_points": t,
             "t_dirs": jnp.broadcast_to(rays_d[:, None, :], pts.shape),
             "points": pts,
+            # raw per-sample sigma [N,S] — latentnerf's ShapeLoss consumes
+            # (points, density) pairs (reference latentnerf.py:94)
+            "density": sigma,
         }
         if "normal" in geo_out:
             out["normal"] = geo_out["normal"]

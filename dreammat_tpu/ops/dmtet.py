@@ -225,6 +225,59 @@ def vertex_normals_by_gid(
     return jnp.where(valid[:, None, None], vn, 0.0)
 
 
+def laplacian_smoothness(
+    tri_verts: jnp.ndarray, valid: jnp.ndarray, edge_gid: jnp.ndarray
+) -> jnp.ndarray:
+    """Uniform-Laplacian smoothness over the fixed-budget soup: mean
+    ||mean(neighbors) - v|| per unique surface vertex.
+
+    Matches the reference's ``Mesh.laplacian`` (threestudio/models/mesh.py:
+    278-311, L = D - A uniform weights) up to the per-vertex degree
+    normalization: on a closed marching-tets surface every edge is shared
+    by exactly 2 faces, so the soup's duplicated neighbor contributions
+    cancel in the mean and the two losses apply the same smoothing
+    pressure. Gradients flow through every vertex-position appearance,
+    exactly as L.mm(v_pos) does with constant L."""
+    F = tri_verts.shape[0]
+    gids = edge_gid.reshape(-1)                      # [3F]
+    # each corner's two in-face neighbors, summed -> one [3F,3] contribution
+    nbr = (
+        tri_verts[:, jnp.asarray([1, 2, 0])]
+        + tri_verts[:, jnp.asarray([2, 0, 1])]
+    ).reshape(-1, 3)
+    vmask = jnp.repeat(valid, 3).astype(jnp.float32)
+    order = jnp.argsort(gids)
+    sg = gids[order]
+    new_run = jnp.concatenate([jnp.asarray([True]), sg[1:] != sg[:-1]])
+    seg_id = jnp.cumsum(new_run) - 1                 # [3F] dense per-gid
+    n_seg = gids.shape[0]
+    nbr_sum = jax.ops.segment_sum(
+        nbr[order] * vmask[order, None], seg_id, num_segments=n_seg
+    )
+    cnt = jax.ops.segment_sum(
+        2.0 * vmask[order], seg_id, num_segments=n_seg
+    )
+    pos_sum = jax.ops.segment_sum(
+        tri_verts.reshape(-1, 3)[order] * vmask[order, None],
+        seg_id, num_segments=n_seg,
+    )
+    occ = jax.ops.segment_sum(vmask[order], seg_id, num_segments=n_seg)
+    # representative position per unique vertex (all corners sharing a gid
+    # interpolate the same lattice edge -> identical position)
+    v = pos_sum / jnp.maximum(occ, 1.0)[:, None]
+    lap = nbr_sum / jnp.maximum(cnt, 1.0)[:, None] - v
+    # only segments that belong to valid faces (gid >= 0) count
+    seg_valid = (
+        (jax.ops.segment_max(vmask[order], seg_id, num_segments=n_seg) > 0)
+        & (jax.ops.segment_min(sg, num_segments=n_seg,
+                               segment_ids=seg_id) >= 0)
+    )
+    norm = jnp.sqrt(jnp.sum(lap * lap, axis=-1) + 1e-12)
+    return jnp.sum(jnp.where(seg_valid, norm, 0.0)) / jnp.maximum(
+        jnp.sum(seg_valid), 1
+    )
+
+
 def normal_consistency(
     tri_verts: jnp.ndarray, valid: jnp.ndarray, edge_gid: jnp.ndarray
 ) -> jnp.ndarray:

@@ -54,6 +54,9 @@ class DreamMat(BaseObject):
         guidance: dict = field(default_factory=dict)
         prompt_processor_type: str = "stable-diffusion-prompt-processor"
         prompt_processor: dict = field(default_factory=dict)
+        # exporter config block (reference base.py exporter_type/exporter);
+        # texture_size feeds system.export
+        exporter: dict = field(default_factory=dict)
 
         loss: dict = field(default_factory=lambda: {"lambda_sds": 1.0, "lambda_mat_reg": 1.0})
         optimizer: dict = field(
@@ -341,10 +344,18 @@ class DreamMat(BaseObject):
         gif = os.path.join(trial_dir, "save", f"it{step}-test.gif")
         return saving.save_gif(gif, frames, fps=30)
 
-    def export(self, state, trial_dir: str, texture_size: int = 2048) -> str:
-        """Bake + save OBJ/MTL (on_predict_epoch_end path, base.py:309-345)."""
+    def export(self, state, trial_dir: str, texture_size: int = None) -> str:
+        """Bake + save OBJ/MTL (on_predict_epoch_end path, base.py:309-345).
+        Texture resolution comes from ``system.exporter.texture_size`` when
+        configured (reference exporter config), else 2048."""
         from dreammat_tpu.models.exporter import MeshExporter
 
+        if texture_size is None:
+            texture_size = int(
+                dict(getattr(self.cfg, "exporter", None) or {}).get(
+                    "texture_size", 2048
+                )
+            )
         exporter = MeshExporter(
             {"texture_size": texture_size},
             self.geometry, self.material,

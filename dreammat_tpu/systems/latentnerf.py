@@ -9,9 +9,10 @@ the loop), and validation decodes through the VAE for visualization.
 ``refinement=True`` switches to RGB rendering with a normal encode pass
 (the reference's second stage, latentnerf.py:34-41).
 
-The ShapeLoss sketch-shape guide (latentnerf.py:27,92-97) depends on
-libigl winding numbers and is off the supported path (SURVEY §2.1 #21
-scoped ShapeLoss out); ``guide_shape`` raises if set.
+The ShapeLoss sketch-shape guide (latentnerf.py:27,89-97) is rebuilt
+TPU-first in ``ops/shape_loss.py``: the reference's per-step libigl
+winding-number + point-mesh-distance CPU round-trips become a one-time
+voxel-grid bake at configure time plus an in-trace trilinear sample.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ import numpy as np
 import optax
 
 import dreammat_tpu
+from dreammat_tpu.ops.shape_loss import shape_loss as shape_loss_fn
 from dreammat_tpu.systems.dreamfusion import DreamFusion, binary_cross_entropy
 from dreammat_tpu.utils.schedule import C_jax
 
@@ -39,15 +41,27 @@ class LatentNeRF(DreamFusion):
         })
         background_type: str = "solid-color-background"
         guide_shape: Optional[str] = None
+        # voxel resolution of the one-time winding/distance bake; the
+        # reference evaluates igl exactly per step, so higher = closer
+        guide_shape_grid_res: int = 64
         refinement: bool = False
 
     cfg: Config
 
     def configure(self) -> None:
+        self.shape_grid = None
         if self.cfg.guide_shape is not None:
-            raise NotImplementedError(
-                "guide_shape (libigl winding-number ShapeLoss) is not "
-                "supported; see module docstring"
+            from dreammat_tpu.models.mesh import load_obj, load_ply, load_glb
+            from dreammat_tpu.ops import shape_loss as shape_loss_ops
+            import os as _os
+
+            ext = _os.path.splitext(self.cfg.guide_shape)[1].lower()
+            loader = {".obj": load_obj, ".ply": load_ply,
+                      ".glb": load_glb, ".gltf": load_glb}[ext]
+            v, f = loader(self.cfg.guide_shape)[:2]
+            self.shape_grid = shape_loss_ops.build_shape_grid(
+                np.asarray(v), np.asarray(f),
+                resolution=self.cfg.guide_shape_grid_res,
             )
         # the background must composite in the same space the field renders
         # (4 latent channels unless refinement renders RGB) — reference does
@@ -70,6 +84,7 @@ class LatentNeRF(DreamFusion):
         optimizer = self.optimizer
         rgb_as_latents = not self.cfg.refinement
         n_ch = self._n_render_ch
+        shape_grid = self.shape_grid
 
         def train_step(state, guidance_params, rays_o, rays_d, light_positions,
                        height, width, elevation, azimuth, camera_distances, rng):
@@ -104,6 +119,14 @@ class LatentNeRF(DreamFusion):
                         jnp.maximum(jnp.sum(out["opacity"] > 0), 1)
                     loss = loss + C_jax(loss_cfg.get("lambda_orient", 0.0), step) * loss_orient
                     metrics["loss_orient"] = loss_orient
+                if shape_grid is not None and loss_cfg.get("lambda_shape", 0.0):
+                    # sketch-shape CE (reference latentnerf.py:89-97)
+                    loss_shape = shape_loss_fn(
+                        out["points"], out["density"], shape_grid
+                    )
+                    loss = loss + C_jax(
+                        loss_cfg["lambda_shape"], step) * loss_shape
+                    metrics["loss_shape"] = loss_shape
                 metrics["loss"] = loss
                 metrics["grad_norm"] = guidance_out["grad_norm"]
                 metrics["min_step"] = guidance_out["min_step"]

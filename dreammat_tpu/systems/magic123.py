@@ -11,9 +11,11 @@ orient and 2D-normal-smoothness regularizers (:90-117). All of it traces
 into one jitted train step; the two UNets run back-to-back on the same
 rendered view.
 
-``refinement=True`` (:118-128, DMTet mesh + normal-consistency/laplacian)
-needs differentiable mesh geometry, which this framework's frozen-geometry
-raytracer does not provide — it raises, like magic3d.
+``refinement=True`` (:118-128): the same ref-view + dual-guidance losses
+over a DMTet mesh through the differentiable rasterizer, with the NeRF
+regularizers replaced by mesh normal-consistency and uniform-Laplacian
+smoothness (reference magic123.py:127-139) — runs on ``ops/dmtet.py``
+like the magic3d/zero123 refinement stages.
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ import jax.numpy as jnp
 import optax
 
 import dreammat_tpu
+from dreammat_tpu.ops import dmtet
 from dreammat_tpu.systems.dreamfusion import DreamFusion
 from dreammat_tpu.utils.schedule import C_jax
 
@@ -47,16 +50,21 @@ class Magic123(DreamFusion):
             "lambda_mask": 100.0,
             "lambda_orient": 0.0,
             "lambda_normal_smoothness_2d": 0.0,
+            "lambda_normal_consistency": 1000.0,
+            "lambda_laplacian_smoothness": 0.0,
         })
 
     cfg: Config
 
     def configure(self) -> None:
         if self.cfg.refinement:
-            raise NotImplementedError(
-                "magic123 refinement needs differentiable mesh geometry "
-                "(DMTet + rasterizer); see module docstring"
-            )
+            # refinement stage defaults: explicit DMTet mesh through the
+            # differentiable rasterizer (the reference switches config
+            # types the same way between its two stages)
+            if self.cfg.geometry_type == "implicit-volume":
+                self.cfg.geometry_type = "tetrahedra-sdf-grid"
+            if self.cfg.renderer_type == "nerf-volume-renderer":
+                self.cfg.renderer_type = "nvdiff-rasterizer"
         super().configure()
         self.guidance_3d = None
 
@@ -76,6 +84,7 @@ class Magic123(DreamFusion):
         renderer = self.renderer
         loss_cfg = dict(self.cfg.loss)
         optimizer = self.optimizer
+        refinement = self.cfg.refinement
 
         def train_step(state, guidance_params, guidance_3d_params,
                        ref_rays_o, ref_rays_d, ref_light, gt_rgb, gt_mask,
@@ -140,8 +149,25 @@ class Magic123(DreamFusion):
                 metrics["loss_sds"] = g2["loss_sds"]
                 metrics["loss_3d_sds"] = g3["loss_sds"]
 
-                # regularizers (:90-117)
-                if "normal" in out:
+                # regularizers: NeRF set for coarse (:90-117), mesh
+                # normal-consistency + laplacian for refinement (:127-139)
+                if refinement:
+                    mesh = out["mesh"]
+                    loss_nc = dmtet.normal_consistency(
+                        mesh.tri_verts, mesh.valid, mesh.edge_gid
+                    )
+                    loss = loss + C_jax(
+                        loss_cfg.get("lambda_normal_consistency", 0.0), step
+                    ) * loss_nc
+                    metrics["loss_normal_consistency"] = loss_nc
+                    lam_lap = loss_cfg.get("lambda_laplacian_smoothness", 0.0)
+                    if lam_lap:
+                        loss_lap = dmtet.laplacian_smoothness(
+                            mesh.tri_verts, mesh.valid, mesh.edge_gid
+                        )
+                        loss = loss + C_jax(lam_lap, step) * loss_lap
+                        metrics["loss_laplacian_smoothness"] = loss_lap
+                elif "normal" in out:
                     w = jax.lax.stop_gradient(out["weights"])
                     ndv = jnp.sum(out["normal"] * out["t_dirs"], axis=-1)
                     loss_orient = jnp.sum(
@@ -150,7 +176,7 @@ class Magic123(DreamFusion):
                     loss = loss + C_jax(
                         loss_cfg.get("lambda_orient", 0.0), step) * loss_orient
                     metrics["loss_orient"] = loss_orient
-                if "comp_normal" in out and loss_cfg.get(
+                if not refinement and "comp_normal" in out and loss_cfg.get(
                         "lambda_normal_smoothness_2d", 0.0):
                     nimg = out["comp_normal"].reshape(z_height, z_width, 3)
                     loss_ns = (

@@ -15,9 +15,15 @@ dispatch per step covers render + both UNet branches + the LoRA regression
 the guidance (loss_vsd sees frozen eps nets; loss_lora sees detached
 latents), not from optimizer bookkeeping.
 
-The reference's geometry/texture refinement stages depend on the
-DMTet-mesh pathway and are not implemented; ``stage`` other than "coarse"
-raises.
+The reference's geometry/texture refinement stages (:47-57, :104-120)
+run on the DMTet chain: ``stage=geometry`` optimizes a
+``tetrahedra-sdf-grid`` mesh through the differentiable rasterizer with
+the guidance scored on ``comp_normal`` (render_rgb=False) plus
+normal-consistency/laplacian regularizers; ``stage=texture`` scores
+``comp_rgb`` on the (typically frozen) mesh with no extra regularizers.
+Guidance losses are applied generically (every ``loss_*`` output scaled
+by its ``lambda_*``, reference :60-63), so either the VSD or the plain
+SDS guidance works per stage, as upstream configs choose.
 """
 
 from __future__ import annotations
@@ -30,6 +36,7 @@ import jax.numpy as jnp
 import optax
 
 import dreammat_tpu
+from dreammat_tpu.ops import dmtet
 from dreammat_tpu.systems.dreamfusion import DreamFusion, binary_cross_entropy
 from dreammat_tpu.utils.schedule import C_jax
 
@@ -58,11 +65,16 @@ class ProlificDreamer(DreamFusion):
     cfg: Config
 
     def configure(self) -> None:
+        if self.cfg.stage not in ("coarse", "geometry", "texture"):
+            raise ValueError(f"Unknown stage {self.cfg.stage}")
         if self.cfg.stage != "coarse":
-            raise NotImplementedError(
-                "only the coarse stage is implemented (geometry/texture "
-                "refinement need the DMTet pathway; see module docstring)"
-            )
+            # refinement stages: explicit DMTet mesh through the
+            # differentiable rasterizer (upstream configs switch types the
+            # same way between stages)
+            if self.cfg.geometry_type == "implicit-volume":
+                self.cfg.geometry_type = "tetrahedra-sdf-grid"
+            if self.cfg.renderer_type == "nerf-volume-renderer":
+                self.cfg.renderer_type = "nvdiff-rasterizer"
         super().configure()
 
     def init_state(self, rng: jax.Array) -> Dict[str, Any]:
@@ -70,10 +82,13 @@ class ProlificDreamer(DreamFusion):
 
         state = super().init_state(rng)
         assert self.guidance is not None, "on_fit_start before init_state"
-        lora = self.guidance.init_lora(jax.random.fold_in(rng, 0x70AA))
-        self.optimizer_lora = parse_optimizer(self.cfg.optimizer_lora)
-        state["lora"] = lora
-        state["opt_lora"] = self.optimizer_lora.init(lora)
+        if hasattr(self.guidance, "init_lora"):
+            lora = self.guidance.init_lora(jax.random.fold_in(rng, 0x70AA))
+            self.optimizer_lora = parse_optimizer(self.cfg.optimizer_lora)
+            state["lora"] = lora
+            state["opt_lora"] = self.optimizer_lora.init(lora)
+        else:
+            self.optimizer_lora = None
         return state
 
     def make_train_step(self):
@@ -83,6 +98,8 @@ class ProlificDreamer(DreamFusion):
         loss_cfg = dict(self.cfg.loss)
         optimizer = self.optimizer
         optimizer_lora = self.optimizer_lora
+        stage = self.cfg.stage
+        has_lora = hasattr(self.guidance, "init_lora")
 
         def train_step(state, guidance_params, rays_o, rays_d, light_positions,
                        c2w, height, width, elevation, azimuth, camera_distances,
@@ -95,21 +112,51 @@ class ProlificDreamer(DreamFusion):
                     params["geo"], params["bg"], state["render"],
                     rays_o, rays_d, light_positions, k_render,
                     step=step, is_train=True,
+                    **({"render_rgb": False} if stage == "geometry" else {}),
                 )
-                rgb = out["comp_rgb"].reshape(1, height, width, 3)
+                # geometry stage scores the normal map (reference :47-52)
+                key = "comp_normal" if stage == "geometry" else "comp_rgb"
+                gin = out[key].reshape(1, height, width, 3)
+                gkw = {"c2w": c2w, "lora_params": params["lora"]} if has_lora \
+                    else {}
                 gout = guidance(
-                    guidance_params, rgb, prompt_utils,
+                    guidance_params, gin, prompt_utils,
                     elevation, azimuth, camera_distances,
-                    c2w=c2w, lora_params=params["lora"],
-                    step=step, rng=k_guide,
+                    step=step, rng=k_guide, **gkw,
                 )
-                loss = (
-                    C_jax(loss_cfg.get("lambda_vsd", 1.0), step) * gout["loss_vsd"]
-                    + C_jax(loss_cfg.get("lambda_lora", 1.0), step) * gout["loss_lora"]
-                )
-                metrics = {
-                    "loss_vsd": gout["loss_vsd"], "loss_lora": gout["loss_lora"],
-                }
+                # every guidance loss_* scaled by its lambda_* (reference
+                # :60-63) — works for loss_vsd+loss_lora or loss_sds alike
+                loss = 0.0
+                metrics = {}
+                for name, value in gout.items():
+                    if name.startswith("loss_"):
+                        loss = loss + C_jax(
+                            loss_cfg.get("lambda_" + name[5:], 1.0), step
+                        ) * value
+                        metrics[name] = value
+
+                if stage == "geometry":
+                    mesh = out["mesh"]
+                    loss_nc = dmtet.normal_consistency(
+                        mesh.tri_verts, mesh.valid, mesh.edge_gid
+                    )
+                    loss = loss + C_jax(
+                        loss_cfg.get("lambda_normal_consistency", 0.0), step
+                    ) * loss_nc
+                    metrics["loss_normal_consistency"] = loss_nc
+                    lam_lap = loss_cfg.get("lambda_laplacian_smoothness", 0.0)
+                    if lam_lap:
+                        loss_lap = dmtet.laplacian_smoothness(
+                            mesh.tri_verts, mesh.valid, mesh.edge_gid
+                        )
+                        loss = loss + C_jax(lam_lap, step) * loss_lap
+                        metrics["loss_laplacian_smoothness"] = loss_lap
+                if stage != "coarse":
+                    metrics["loss"] = loss
+                    metrics["grad_norm"] = gout["grad_norm"]
+                    metrics["min_step"] = gout["min_step"]
+                    metrics["max_step"] = gout["max_step"]
+                    return loss, metrics
 
                 if "normal" in out:
                     w = jax.lax.stop_gradient(out["weights"])
@@ -142,7 +189,9 @@ class ProlificDreamer(DreamFusion):
                 metrics["max_step"] = gout["max_step"]
                 return loss, metrics
 
-            params = {"geo": state["geo"], "bg": state["bg"], "lora": state["lora"]}
+            params = {"geo": state["geo"], "bg": state["bg"]}
+            if has_lora:
+                params["lora"] = state["lora"]
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
 
             scene = {"geo": params["geo"], "bg": params["bg"]}
@@ -150,16 +199,19 @@ class ProlificDreamer(DreamFusion):
             updates, new_opt = optimizer.update(scene_grads, state["opt"], scene)
             scene = optax.apply_updates(scene, updates)
 
-            lora_updates, new_opt_lora = optimizer_lora.update(
-                grads["lora"], state["opt_lora"], params["lora"]
-            )
-            new_lora = optax.apply_updates(params["lora"], lora_updates)
-
-            return {
-                "geo": scene["geo"], "bg": scene["bg"], "lora": new_lora,
-                "opt": new_opt, "opt_lora": new_opt_lora,
-                "render": state["render"], "step": step + 1,
-            }, metrics
+            new_state = {
+                "geo": scene["geo"], "bg": scene["bg"],
+                "opt": new_opt, "render": state["render"], "step": step + 1,
+            }
+            if has_lora:
+                lora_updates, new_opt_lora = optimizer_lora.update(
+                    grads["lora"], state["opt_lora"], params["lora"]
+                )
+                new_state["lora"] = optax.apply_updates(
+                    params["lora"], lora_updates
+                )
+                new_state["opt_lora"] = new_opt_lora
+            return new_state, metrics
 
         return jax.jit(train_step, static_argnames=("height", "width"))
 

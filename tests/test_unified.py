@@ -52,11 +52,23 @@ def test_zero123_unified_factory(tmp_path):
          "half_precision_weights": False, "cond_image_path": p,
          "width": 24, "height": 24}
     )
-    from dreammat_tpu.models.guidance_zero123 import Zero123Guidance
+    from dreammat_tpu.models.guidance_zero123 import (
+        Zero123Guidance, Zero123VSDGuidance,
+    )
 
     assert isinstance(g, Zero123Guidance)
-    with pytest.raises(NotImplementedError):
-        dreammat_tpu.find("zero123-unified-guidance")({"guidance_type": "vsd"})
+    gv = dreammat_tpu.find("zero123-unified-guidance")(
+        {"guidance_type": "vsd", "model_size": "tiny",
+         "half_precision_weights": False, "cond_image_path": p,
+         "width": 24, "height": 24,
+         "vsd_guidance_scale_phi": 2.0,
+         "vsd_camera_condition_type": "spherical"}
+    )
+    assert isinstance(gv, Zero123VSDGuidance)
+    assert gv.cfg.guidance_scale_phi == 2.0
+    assert gv.cfg.camera_condition_type == "spherical"
+    with pytest.raises(ValueError):
+        dreammat_tpu.find("zero123-unified-guidance")({"guidance_type": "nope"})
 
 
 def test_custom_mesh_alias():
@@ -111,8 +123,35 @@ def test_triple_guidance_canny_and_grad():
     assert float(e[0, 8, 2, 0]) == 0.0     # flat region
     import pytest
 
+    # NormalBae stays weight-gated; HED is rebuilt (models/detectors.py)
     with pytest.raises(NotImplementedError):
         dreammat_tpu.find("stable-diffusion-triple-guidance")(
             {"model_size": "tiny", "use_controlnet": True,
-             "control_types": ["hed"], "cache_dir": None}
+             "control_types": ["normal"], "cache_dir": None}
         )
+
+
+def test_triple_guidance_hed_control():
+    import jax.numpy as jnp
+
+    g = dreammat_tpu.find("stable-diffusion-triple-guidance")(
+        {
+            "model_size": "tiny", "half_precision_weights": False,
+            "use_controlnet": True, "control_types": ["depth", "hed"],
+            "condition_scales": [1.0, 1.0],
+            "condition_scales_anneal": [1.0, 1.0],
+            "width": 24, "height": 24, "cache_dir": None,
+            "controlnet_path": None,
+        }
+    )
+    assert g._hed is not None
+    g.init_params(jax.random.PRNGKey(0), latent_hw=(12, 12))
+    pp = dreammat_tpu.find("stable-diffusion-prompt-processor")(
+        {"model_size": "tiny", "prompt": "a red apple", "use_cache": False}
+    )
+    pu = pp()
+    rgb = jax.random.uniform(jax.random.PRNGKey(1), (1, 24, 24, 3))
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (1, 24, 24, 4))
+    args = (jnp.zeros((1,)), jnp.zeros((1,)), jnp.full((1,), 1.5))
+    out = g(g.params, rgb, pu, *args, cond, step=0, rng=jax.random.PRNGKey(3))
+    assert np.isfinite(float(out["loss_sds"]))

@@ -177,3 +177,76 @@ def test_prolificdreamer_trains(tmp_path):
     # the lora up-factors moved off zero (its optimizer ran)
     ups = [float(jnp.abs(v["up"]).max()) for v in state["lora"]["layers"].values()]
     assert max(ups) > 0.0
+
+
+_DMTET_STAGE_ARGS = [
+    "system.geometry_type=tetrahedra-sdf-grid",
+    "system.geometry!={radius: 1.0, isosurface_resolution: 10, max_crossing_tets: 1024, shape_init: sphere, shape_init_params: 0.5, n_feature_dims: 3, pos_encoding_config: {otype: HashGrid, n_levels: 2, n_features_per_level: 2, log2_hashmap_size: 8, base_resolution: 4, per_level_scale: 1.5}, mlp_network_config: {n_neurons: 8, n_hidden_layers: 1}}",
+    "system.renderer_type=nvdiff-rasterizer",
+    "system.renderer!={radius: 1.0, sdf_opacity_samples: 8, face_chunk: 512}",
+]
+
+
+def test_prolificdreamer_geometry_stage_trains(tmp_path):
+    """stage=geometry: DMTet mesh, guidance scored on comp_normal, with the
+    normal-consistency + laplacian regularizers (reference
+    prolificdreamer.py:47-52,104-117). Upstream uses plain SDS here."""
+    from dreammat_tpu.utils.config import load_config
+    import os
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "prolificdreamer_tiny.yaml"),
+        cli_args=[
+            "system.stage=geometry",
+            "system.prompt_processor.prompt=a red apple",
+            "system.guidance_type=stable-diffusion-guidance",
+            "system.guidance!={model_size: tiny, half_precision_weights: false, width: 24, height: 24, cache_dir: null, guidance_scale: 100.0}",
+            "system.loss!={lambda_sds: 1.0, lambda_normal_consistency: 100.0, lambda_laplacian_smoothness: 10.0}",
+            *_DMTET_STAGE_ARGS,
+            f"exp_root_dir={tmp_path}/outputs",
+        ],
+    )
+    system = dreammat_tpu.find(cfg.system_type)(cfg.system)
+    assert system.cfg.geometry_type == "tetrahedra-sdf-grid"
+    dm = dreammat_tpu.find(cfg.data_type)(cfg.data, system.renderer, system.material)
+    dm.setup()
+    state = system.fit(
+        dm, max_steps=2, seed=0, trial_dir=cfg.trial_dir,
+        val_check_interval=0, checkpoint_every=0, log_every=1,
+    )
+    assert int(state["step"]) == 2
+    assert "lora" not in state  # plain SDS guidance: no phi optimizer
+    p0 = system.geometry.init(jax.random.PRNGKey(0))
+    assert not np.allclose(np.asarray(state["geo"]["sdf"]), np.asarray(p0["sdf"]))
+
+
+def test_prolificdreamer_texture_stage_trains(tmp_path):
+    """stage=texture: VSD on comp_rgb over the DMTet mesh, no extra
+    regularizers (reference prolificdreamer.py:118-120)."""
+    from dreammat_tpu.utils.config import load_config
+    import os
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "prolificdreamer_tiny.yaml"),
+        cli_args=[
+            "system.stage=texture",
+            "system.prompt_processor.prompt=a red apple",
+            "system.loss!={lambda_vsd: 1.0, lambda_lora: 1.0}",
+            *_DMTET_STAGE_ARGS,
+            f"exp_root_dir={tmp_path}/outputs",
+        ],
+    )
+    system = dreammat_tpu.find(cfg.system_type)(cfg.system)
+    dm = dreammat_tpu.find(cfg.data_type)(cfg.data, system.renderer, system.material)
+    dm.setup()
+    state = system.fit(
+        dm, max_steps=2, seed=0, trial_dir=cfg.trial_dir,
+        val_check_interval=0, checkpoint_every=0, log_every=1,
+    )
+    assert int(state["step"]) == 2
+    # texture stage trains the feature field + lora; geometry still updates
+    # unless fix_geometry freezes it (upstream texture configs freeze it)
+    leaves = jax.tree_util.tree_leaves(
+        {"geo": state["geo"], "bg": state["bg"], "lora": state["lora"]}
+    )
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

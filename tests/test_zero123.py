@@ -61,6 +61,69 @@ def test_zero123_guidance_grad(z123):
     assert float(jnp.abs(grad).max()) > 0.0
 
 
+def test_zero123_vsd_guidance(cond_png):
+    """zero123 VSD: both losses finite; loss_vsd's gradient flows to the
+    image (not the LoRA), loss_lora's to the LoRA (not the image) — the
+    stop-gradient isolation the torch original gets from optimizer
+    bookkeeping (zero123_unified_guidance.py:409-511)."""
+    g = dreammat_tpu.find("zero123-vsd-guidance")(
+        {
+            "model_size": "tiny", "half_precision_weights": False,
+            "width": 24, "height": 24, "cond_image_path": cond_png,
+            "guidance_scale": 3.0, "guidance_scale_phi": 1.0,
+            "lora_rank": 2, "camera_condition_type": "extrinsics",
+        }
+    )
+    g.init_params(jax.random.PRNGKey(0))
+    lora = g.init_lora(jax.random.PRNGKey(1))
+    rgb = jax.random.uniform(jax.random.PRNGKey(2), (1, 24, 24, 3))
+    elev, azim, dist = (jnp.asarray([20.0]), jnp.asarray([90.0]),
+                        jnp.asarray([1.5]))
+    c2w = jnp.eye(4)[None]
+    out = g(g.params, rgb, elev, azim, dist, c2w=c2w, lora_params=lora,
+            step=0, rng=jax.random.PRNGKey(3))
+    assert np.isfinite(float(out["loss_vsd"]))
+    assert np.isfinite(float(out["loss_lora"]))
+
+    g_img, g_lora = jax.grad(
+        lambda x, lp: g(g.params, x, elev, azim, dist, c2w=c2w,
+                        lora_params=lp, step=0,
+                        rng=jax.random.PRNGKey(3))["loss_vsd"],
+        argnums=(0, 1),
+    )(rgb, lora)
+    assert float(jnp.abs(g_img).max()) > 0.0
+    assert all(
+        float(jnp.abs(l).max()) == 0.0
+        for l in jax.tree_util.tree_leaves(g_lora)
+    )
+
+    g_img2, g_lora2 = jax.grad(
+        lambda x, lp: g(g.params, x, elev, azim, dist, c2w=c2w,
+                        lora_params=lp, step=0,
+                        rng=jax.random.PRNGKey(3))["loss_lora"],
+        argnums=(0, 1),
+    )(rgb, lora)
+    assert float(jnp.abs(g_img2).max()) == 0.0
+    assert any(
+        float(jnp.abs(l).max()) > 0.0
+        for l in jax.tree_util.tree_leaves(g_lora2)
+    )
+
+    # spherical camera conditioning path also traces
+    g2 = dreammat_tpu.find("zero123-vsd-guidance")(
+        {
+            "model_size": "tiny", "half_precision_weights": False,
+            "width": 24, "height": 24, "cond_image_path": cond_png,
+            "camera_condition_type": "spherical", "lora_rank": 2,
+        }
+    )
+    g2.params = g.params
+    lora2 = g2.init_lora(jax.random.PRNGKey(4))
+    out2 = g2(g2.params, rgb, elev, azim, dist, c2w=c2w, lora_params=lora2,
+              step=0, rng=jax.random.PRNGKey(5))
+    assert np.isfinite(float(out2["loss_vsd"]))
+
+
 def test_zero123_pose_conditioning_changes_eps(z123):
     """Different relative poses produce different CFG contexts — the pose
     token must actually reach the UNet."""
@@ -192,6 +255,45 @@ def test_magic123_system_trains(cond_png, tmp_path):
     assert system.guidance_3d is not None
     leaves = jax.tree_util.tree_leaves(state["geo"])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_magic123_refinement_trains(cond_png, tmp_path):
+    """magic123 refinement=true: DMTet mesh + rasterizer with both priors
+    and the normal-consistency + laplacian regularizers (reference
+    magic123.py:127-139)."""
+    from dreammat_tpu.utils.config import load_config
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "zero123_tiny.yaml"),
+        cli_args=[
+            "system_type=magic123-system",
+            f"data.image_path={cond_png}",
+            "system.refinement=true",
+            "system.guidance_type=stable-diffusion-guidance",
+            "system.guidance!={model_size: tiny, half_precision_weights: false, width: 24, height: 24, cache_dir: null, guidance_scale: 100.0}",
+            f"system.guidance_3d!={{model_size: tiny, half_precision_weights: false, width: 24, height: 24, cond_image_path: {cond_png}, guidance_scale: 5.0}}",
+            "system.prompt_processor!={model_size: tiny, prompt: a red apple, use_cache: false}",
+            "system.geometry_type=tetrahedra-sdf-grid",
+            "system.geometry!={radius: 1.0, isosurface_resolution: 10, max_crossing_tets: 1024, shape_init: sphere, shape_init_params: 0.5, n_feature_dims: 3, pos_encoding_config: {otype: HashGrid, n_levels: 2, n_features_per_level: 2, log2_hashmap_size: 8, base_resolution: 4, per_level_scale: 1.5}, mlp_network_config: {n_neurons: 8, n_hidden_layers: 1}}",
+            "system.renderer_type=nvdiff-rasterizer",
+            "system.renderer!={radius: 1.0, sdf_opacity_samples: 8, face_chunk: 512}",
+            "system.material_type=no-material",
+            "system.material!={n_output_dims: 3}",
+            "system.loss!={lambda_sds: 0.025, lambda_3d_sds: 1.0, lambda_rgb: 1000.0, lambda_mask: 100.0, lambda_normal_consistency: 100.0, lambda_laplacian_smoothness: 10.0}",
+            f"exp_root_dir={tmp_path}/outputs",
+        ],
+    )
+    system = dreammat_tpu.find(cfg.system_type)(cfg.system)
+    assert system.cfg.geometry_type == "tetrahedra-sdf-grid"
+    dm = dreammat_tpu.find(cfg.data_type)(cfg.data, system.renderer, system.material)
+    dm.setup()
+    state = system.fit(
+        dm, max_steps=2, seed=0, trial_dir=cfg.trial_dir,
+        val_check_interval=0, checkpoint_every=0, log_every=1,
+    )
+    assert int(state["step"]) == 2
+    p0 = system.geometry.init(jax.random.PRNGKey(0))
+    assert not np.allclose(np.asarray(state["geo"]["sdf"]), np.asarray(p0["sdf"]))
 
 
 def test_image_condition_dreamfusion_trains(cond_png, tmp_path):
