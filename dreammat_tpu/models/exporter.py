@@ -288,6 +288,25 @@ def inpaint_padding(img: jnp.ndarray, valid: jnp.ndarray, iters: int = 8) -> jnp
     return x
 
 
+@dreammat_tpu.register("dummy-exporter")
+class DummyExporter(BaseObject):
+    """No-op exporter (reference exporters/base.py:55-59): systems whose
+    configs disable export resolve this name and get an empty result."""
+
+    @dataclass
+    class Config:
+        save_video: bool = False
+
+    cfg: Config
+
+    def configure(self, geometry=None, material=None) -> None:
+        self.geometry = geometry
+        self.material = material
+
+    def __call__(self, *args, **kwargs):
+        return []
+
+
 @dreammat_tpu.register("mesh-exporter")
 class MeshExporter(BaseObject):
     @dataclass
