@@ -23,6 +23,15 @@ def main():
     ap.add_argument("--mesh", default="/root/reference/threestudio_dreammat/load/shapes/objs/apple.obj")
     ap.add_argument("--model-size", default="sd21")
     ap.add_argument("--shading-chunk", type=int, default=8)
+    ap.add_argument("--static-budget-mb", type=int, default=6144,
+                    help="HBM budget for resident static field maps; set "
+                    "below views*~180MB to force the rotating window")
+    ap.add_argument("--rotate", type=int, default=8,
+                    help="static_maps_rotate (0 = dynamic backward for "
+                    "non-resident views)")
+    ap.add_argument("--no-static-maps", action="store_true",
+                    help="disable static field maps entirely (dynamic "
+                    "scatter backward baseline)")
     args = ap.parse_args()
 
     import jax
@@ -74,6 +83,9 @@ def main():
             "fix_view_num": args.views, "fix_env_num": 2,
             "cond_height": min(H, 256), "cond_width": min(H, 256),
             "prerender_cache_dir": ".dreammat_tpu_cache/bench",
+            "static_field_maps": not args.no_static_maps,
+            "static_maps_budget_mb": args.static_budget_mb,
+            "static_maps_rotate": args.rotate,
         },
         system.renderer, system.material,
     )

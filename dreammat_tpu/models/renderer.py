@@ -237,6 +237,11 @@ class RaytraceRenderer(BaseObject):
         # parity); "none": no shadow rays
         visibility_mode: str = "baked"
         visibility_oct_res: int = 16
+        # >1 casts supersample^2 jittered rays per octahedral bin and stores
+        # the fractional bin visibility — reduces direction-space aliasing
+        # under hard self-occlusion (see ops/visibility.py); costs
+        # supersample^2 x more one-time bake rays.
+        visibility_supersample: int = 1
 
     cfg: Config
 
@@ -256,6 +261,7 @@ class RaytraceRenderer(BaseObject):
             baked = vis_lib.bake_vertex_visibility(
                 self.bvh, self.mesh.v_pos, self.mesh.v_nrm,
                 oct_res=self.cfg.visibility_oct_res,
+                supersample=self.cfg.visibility_supersample,
             )
             self.material.set_baked_visibility(baked)
 

@@ -70,22 +70,31 @@ def bake_vertex_visibility(
     oct_res: int = 16,
     eps: float = 1e-3,
     chunk: int = 1 << 16,
+    supersample: int = 1,
 ) -> BakedVisibility:
-    """Cast V x oct_res^2 rays once; vis=1 where the env is visible.
-    Rays into the surface (below the tangent plane) never matter for the
-    shading estimators (NoL weights them to ~0) so their value is harmless."""
+    """Cast V x (oct_res*supersample)^2 rays once; per bin the table stores
+    the FRACTION of its supersample^2 sub-rays that reach the environment
+    (supersample=1 keeps the original binary bin). Fractional bins matter
+    under hard self-occlusion (torus class): a bin straddling an occluder
+    edge otherwise snaps to fully-lit or fully-dark, and that direction-space
+    aliasing is the dominant baked-vs-exact gradient error. Rays into the
+    surface (below the tangent plane) never matter for the shading
+    estimators (NoL weights them to ~0) so their value is harmless."""
     V = v_pos.shape[0]
-    O2 = oct_res * oct_res
-    xs = (jnp.arange(oct_res, dtype=jnp.float32) + 0.5) / oct_res
+    s = max(int(supersample), 1)
+    N = oct_res * s
+    xs = (jnp.arange(N, dtype=jnp.float32) + 0.5) / N
     uu, vv = jnp.meshgrid(xs, xs, indexing="xy")
-    uv = jnp.stack([uu.reshape(-1), vv.reshape(-1)], axis=-1)  # [O2,2] bin order y*O+x
-    dirs = oct_uv_to_dir(uv)  # [O2,3]
+    uv = jnp.stack([uu.reshape(-1), vv.reshape(-1)], axis=-1)  # [N2,2] order y*N+x
+    dirs = oct_uv_to_dir(uv)  # [N2,3]
+    N2 = N * N
 
-    origins = (v_pos + v_nrm * eps)[:, None, :] + dirs[None, :, :] * eps  # [V,O2,3]
+    origins = (v_pos + v_nrm * eps)[:, None, :] + dirs[None, :, :] * eps  # [V,N2,3]
     rays_o = origins.reshape(-1, 3)
-    rays_d = jnp.broadcast_to(dirs[None], (V, O2, 3)).reshape(-1, 3)
+    rays_d = jnp.broadcast_to(dirs[None], (V, N2, 3)).reshape(-1, 3)
     out = bvh_lib.cast_rays_chunked(bvh, rays_o, rays_d, chunk=chunk)
-    vis = (~out["hit"]).astype(jnp.float16).reshape(V, O2)
+    vis = (~out["hit"]).astype(jnp.float32).reshape(V, oct_res, s, oct_res, s)
+    vis = vis.mean(axis=(2, 4)).reshape(V, oct_res * oct_res).astype(jnp.float16)
     return BakedVisibility(table=vis, oct_res=oct_res)
 
 

@@ -76,3 +76,42 @@ def test_lookup_barycentric_mix():
     dirs = jnp.asarray([[[0.0, 0.0, 1.0]]])
     vis = vis_lib.lookup_visibility(baked, tri, bary, dirs)
     assert abs(float(vis[0, 0]) - 0.5) < 1e-3
+
+
+def test_bake_supersample_fractional_bins():
+    """supersample>1 stores fractional bin visibility: near an occluder
+    edge the bin takes values strictly between 0 and 1, and on a convex
+    sphere it agrees with the binary bake (all-visible outward bins)."""
+    m1 = mesh_lib.make_icosphere(2)
+    v1 = np.asarray(m1.v_pos)
+    f1 = np.asarray(m1.t_pos_idx)
+    v2 = v1 + np.asarray([0.0, 0.0, 2.5])
+    v = np.concatenate([v1, v2])
+    f = np.concatenate([f1, f1 + len(v1)])
+    bvh = bvh_lib.build_bvh(v, f)
+    nrm = np.concatenate([np.asarray(m1.v_nrm)] * 2)
+    b1 = vis_lib.bake_vertex_visibility(
+        bvh, jnp.asarray(v), jnp.asarray(nrm), oct_res=8, eps=1e-2, supersample=1
+    )
+    b4 = vis_lib.bake_vertex_visibility(
+        bvh, jnp.asarray(v), jnp.asarray(nrm), oct_res=8, eps=1e-2, supersample=4
+    )
+    t1 = np.asarray(b1.table, np.float32)
+    t4 = np.asarray(b4.table, np.float32)
+    assert t1.shape == t4.shape
+    # binary bake only emits {0,1}; supersampled bake must produce
+    # fractional bins where the upper sphere's silhouette crosses bins
+    frac = (t4 > 0.05) & (t4 < 0.95)
+    assert frac.any(), "expected fractional bins at the occluder silhouette"
+    # the two bakes agree where both are saturated (mean |diff| small)
+    assert float(np.abs(t1 - t4).mean()) < 0.1
+    # convex sphere alone: supersampled outward bins still fully visible
+    bvh1 = bvh_lib.build_bvh(v1, f1)
+    bs = vis_lib.bake_vertex_visibility(
+        bvh1, m1.v_pos, m1.v_nrm, oct_res=8, eps=1e-2, supersample=2
+    )
+    xs = (jnp.arange(8, dtype=jnp.float32) + 0.5) / 8
+    uu, vv = jnp.meshgrid(xs, xs, indexing="xy")
+    dirs = vis_lib.oct_uv_to_dir(jnp.stack([uu.reshape(-1), vv.reshape(-1)], -1))
+    outward = np.asarray(jnp.einsum("vd,bd->vb", m1.v_nrm, dirs)) > 0.2
+    assert (np.asarray(bs.table, np.float32)[outward] > 0.9).mean() > 0.99

@@ -133,11 +133,16 @@ def mc_reference_stack(ren, mat, cam, n_envs, res, cond_res, tmp_dir):
     mat.set_baked_visibility(None)
     mat.set_raytracer(ren.trace)
 
+    import time
+
     Nv = len(cam)
     lightmaps = np.zeros((Nv, n_envs, res, res, 18), np.float32)
     raw_depth = np.zeros((Nv, res, res), np.float32)
     normals = np.zeros((Nv, res, res, 3), np.float32)
+    t_start = time.time()
     for i in range(Nv):
+        print(f"[cycles_parity] exact-MC view {i}/{Nv} "
+              f"(elapsed {time.time() - t_start:.0f}s)", flush=True)
         cd = camera_rays_and_matrices(cam, i, res, res)
         gb = ren.build_gbuffer(cd["rays_o"], cd["rays_d"], cd["w2c"])
         probes, _ = pre.render_probes_for_view_mc(

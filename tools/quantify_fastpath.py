@@ -97,7 +97,7 @@ MR_COMBOS = [(0.0, 0.3), (0.9, 0.5), (0.5, 0.1), (0.0, 0.9)]
 
 
 def run(mesh_name, mesh_or_path, oct_resolutions, n_envs, res, mc_samples, seed=0,
-        grad_pixels=16384):
+        grad_pixels=16384, supersample=1):
     import jax
     import jax.numpy as jnp
 
@@ -212,7 +212,8 @@ def run(mesh_name, mesh_or_path, oct_resolutions, n_envs, res, mc_samples, seed=
 
             for oct_res in oct_resolutions:
                 baked = vis_lib.bake_vertex_visibility(
-                    ren.bvh, ren.mesh.v_pos, ren.mesh.v_nrm, oct_res=oct_res
+                    ren.bvh, ren.mesh.v_pos, ren.mesh.v_nrm, oct_res=oct_res,
+                    supersample=supersample,
                 )
                 mat.set_baked_visibility(baked)
                 lvis, e_d, fg_lut, _ = pre.mesh_bakes(ren, mat, n_envs)
@@ -278,6 +279,9 @@ def main():
                     "meshes at the full budget)")
     ap.add_argument("--meshes", nargs="+",
                     default=["sphere", "slabs", "torus", "apple"])
+    ap.add_argument("--supersample", type=int, default=1,
+                    help="jittered rays per oct bin axis in the visibility "
+                    "bake (fractional bins; see ops/visibility.py)")
     args = ap.parse_args()
 
     from dreammat_tpu.models.mesh import make_icosphere
@@ -300,7 +304,8 @@ def main():
     for name in args.meshes:
         m = catalog[name]()
         all_rows += run(name, m, args.oct, args.envs, args.res, args.mc_samples,
-                        grad_pixels=args.grad_pixels)
+                        grad_pixels=args.grad_pixels,
+                        supersample=args.supersample)
 
     # markdown summary: per (mesh, oct_res) averaged over envs/views
     print("\n| mesh | oct_res | RMSE mean | RMSE max | grad cos | grad cos floor |")
