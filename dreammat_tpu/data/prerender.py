@@ -215,6 +215,119 @@ def vertex_table_for_camera(renderer, material, data, cam_pos, env_id: int):
     )
 
 
+def render_probes_for_view_exact(
+    renderer,
+    material,
+    gb,
+    n_envs: int,
+    rng: jax.Array,
+    chunk: int = 1024,
+) -> jnp.ndarray:
+    """Reference-parity probe stack [n_envs, H, W, 18] with EXACT per-ray
+    BVH visibility (no baked tables anywhere) — the ground truth the
+    cycles-parity harness and fast-path error sweeps compare against.
+
+    Estimators mirror the reference's probe semantics
+    (blender_script_fixview.py:219-221 renders Principled BSDF probes with
+    white base color, metallic {0,1} x roughness {0,0.5,1}): per pixel,
+    diffuse irradiance from the cosine-sampled set and three GGX
+    importance-sampled specular sets (alpha = probe_roughness^2,
+    dreammat_material.py:615-677 weights), every sample direction traced
+    through the BVH (dreammat_material.py:490-507 get_lights semantics).
+    Occlusion is env-independent, so each direction is traced ONCE and the
+    hit mask is reused by all n_envs environments (one trace amortizes the
+    full 6 probes x n_envs stack for the view)."""
+    H, W = gb.mask.shape
+    P = gb.fg_pos.shape[0]
+    diff_samples = material.diffuse_dir_samples
+    spec_samples = material.specular_dir_samples
+    dn = diff_samples.shape[0]
+    sn = spec_samples.shape[0]
+    envs = material.envs[:n_envs]
+    trace = renderer.trace
+    spec_alphas = [TABLE_ALPHAS[_PROBE_SET_IDX[r]] for r in SPEC_ROUGHNESS]
+
+    def shade_chunk(args):
+        pos, normal, viewdir, valid = args
+        pc = pos.shape[0]
+        refl = uops.reflect(viewdir, normal)
+        d_dirs = material.sample_diffuse_directions(normal, rng, False)  # [pc,dn,3]
+        s_sets = [
+            material.sample_specular_directions(
+                refl, jnp.full((pc, 1), a), rng, False
+            )
+            for a in spec_alphas
+        ]
+        all_dirs = jnp.concatenate([d_dirs] + s_sets, axis=1)  # [pc,dn+3sn,3]
+
+        # ONE trace covers every probe and every environment (get_lights
+        # raytraced-branch semantics: origin offset eps along the ray)
+        eps = 1e-5
+        o = (pos[:, None] + all_dirs * eps).reshape(-1, 3)
+        d = all_dirs.reshape(-1, 3)
+        _, _, _, hit = trace(o, d)
+        occluded = hit.reshape(pc, -1) | ~valid[:, None]  # padding lanes -> dark
+
+        NoV = uops.saturate_dot(normal, viewdir)[:, None]
+        level_data = []
+        for li, alpha in enumerate(spec_alphas):
+            sd = all_dirs[:, dn + li * sn : dn + (li + 1) * sn]
+            Hv = uops.safe_normalize(viewdir[:, None] + sd)
+            NoH = uops.saturate_dot(normal[:, None], Hv)
+            VoH = uops.saturate_dot(viewdir[:, None], Hv)
+            NoL = uops.saturate_dot(normal[:, None], sd)
+            D = distribution_ggx(NoH, jnp.asarray(alpha))
+            G = geometry_schlick(NoV, NoL, jnp.asarray(alpha))
+            pdf = D * NoH / (4.0 * VoH + 1e-5)
+            w = D * G / (4.0 * NoV * pdf + 1e-5)
+            Fr04 = fresnel_schlick(jnp.asarray(0.04), VoH)
+            Fr1 = fresnel_schlick(jnp.asarray(1.0), VoH)
+            level_data.append((w, Fr04, Fr1))
+
+        imgs = []
+        for env_id in range(n_envs):
+            env = envmap_lib.sample_equirect_nearest(envs[env_id], all_dirs)
+            lights = jnp.where(occluded[..., None], 0.0, env)  # [pc,S,3]
+            E_d = jnp.mean(lights[:, :dn], axis=1)  # [pc,3]
+            per_probe = []
+            for (m, r) in PROBE_MR:
+                li = SPEC_ROUGHNESS.index(r)
+                w, Fr04, Fr1 = level_data[li]
+                Fr = Fr1 if m == 1.0 else Fr04
+                Ls = lights[:, dn + li * sn : dn + (li + 1) * sn]
+                diffuse = (1.0 - m) * E_d
+                spec = jnp.mean(Fr * Ls * w, axis=1)
+                per_probe.append(uops.lin2srgb(jnp.nan_to_num(diffuse + spec)))
+            imgs.append(jnp.concatenate(per_probe, axis=-1))  # [pc,18]
+        return jnp.stack(imgs)  # [E,pc,18]
+
+    pad = (-P) % chunk
+
+    def padded(x, unit=False):
+        if pad:
+            fill = jnp.zeros((pad, *x.shape[1:]), x.dtype)
+            x = jnp.concatenate([x, fill])
+        if unit:  # zero normals/viewdirs make NaN frames in the samplers
+            x = jnp.where(
+                jnp.linalg.norm(x, axis=-1, keepdims=True) < 0.5,
+                jnp.asarray([0.0, 0.0, 1.0]), x,
+            )
+        return x
+
+    pos_c = padded(gb.fg_pos).reshape(-1, chunk, 3)
+    nrm_c = padded(gb.fg_normal, unit=True).reshape(-1, chunk, 3)
+    vdr_c = padded(gb.fg_viewdir, unit=True).reshape(-1, chunk, 3)
+    val_c = padded(gb.fg_valid.astype(jnp.float32)).reshape(-1, chunk) > 0.5
+
+    out = jax.lax.map(shade_chunk, (pos_c, nrm_c, vdr_c, val_c))  # [nc,E,chunk,18]
+    out = jnp.moveaxis(out, 1, 0).reshape(n_envs, -1, 18)[:, :P]
+    img = jnp.zeros((n_envs, H * W, 18))
+    vals = jnp.where(gb.fg_valid[None, :, None], out, 0.0)
+    img = img.at[:, gb.fg_idx].add(vals)
+    img = img * gb.mask.reshape(1, -1, 1).astype(jnp.float32)
+    return img.reshape(n_envs, H, W, 18)
+
+
 def render_probes_for_view_mc(
     renderer,
     material,

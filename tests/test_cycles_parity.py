@@ -94,3 +94,28 @@ def test_parity_residuals_and_controlnet_delta(rig, tmp_path):
     cn = cp.controlnet_delta(ours, ref)
     assert np.isfinite(cn["rel_l2_mean"])
     assert cn["rel_l2_mean"] < 0.5, cn
+
+
+def test_exact_probe_renderer_matches_conv_bake_on_sphere(rig):
+    """render_probes_for_view_exact (per-ray BVH visibility, the harness's
+    ground truth) agrees with the conv-bake fast path on a convex sphere,
+    where baked visibility is exact — isolating the estimator difference
+    (GGX importance sampling vs octahedral quadrature) from visibility
+    error. Also pins shape/NaN-freeness of the exact path."""
+    from dreammat_tpu.data.cameras import camera_rays_and_matrices
+
+    geo, mat, ren, cam = rig
+    cd = camera_rays_and_matrices(cam, 0, 32, 32)
+    gb = ren.build_gbuffer(cd["rays_o"], cd["rays_d"], cd["w2c"])
+    mat.set_raytracer(ren.trace)
+    ex = np.asarray(pre.render_probes_for_view_exact(
+        ren, mat, gb, 2, jax.random.PRNGKey(0), chunk=256))
+    mc, _ = pre.render_probes_for_view_mc(ren, mat, gb, 2, jax.random.PRNGKey(0))
+    mc = np.asarray(mc)
+    assert ex.shape == (2, 32, 32, 18)
+    assert not np.isnan(ex).any()
+    fg = np.asarray(gb.mask)
+    d = np.abs(ex - mc)[:, fg]
+    assert d.mean() < 0.05, d.mean()
+    # background must be black on every probe channel
+    assert np.abs(ex[:, ~fg]).max() == 0.0

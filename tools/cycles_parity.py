@@ -128,7 +128,7 @@ def mc_reference_stack(ren, mat, cam, n_envs, res, cond_res, tmp_dir):
     from dreammat_tpu.data import prerender as pre
     from dreammat_tpu.data.cameras import camera_rays_and_matrices
 
-    # exact visibility: drop the baked table, use BVH rays
+    # exact visibility: drop the baked table, trace every sample ray
     baked = mat.baked_visibility
     mat.set_baked_visibility(None)
     mat.set_raytracer(ren.trace)
@@ -145,9 +145,10 @@ def mc_reference_stack(ren, mat, cam, n_envs, res, cond_res, tmp_dir):
               f"(elapsed {time.time() - t_start:.0f}s)", flush=True)
         cd = camera_rays_and_matrices(cam, i, res, res)
         gb = ren.build_gbuffer(cd["rays_o"], cd["rays_d"], cd["w2c"])
-        probes, _ = pre.render_probes_for_view_mc(
+        probes = pre.render_probes_for_view_exact(
             ren, mat, gb, n_envs, jax.random.PRNGKey(11),
         )
+        probes.block_until_ready()
         lightmaps[i] = np.asarray(probes, np.float32)
         normals[i] = np.asarray(gb.cn_normal, np.float32)
         t = np.linalg.norm(
