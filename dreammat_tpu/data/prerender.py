@@ -220,7 +220,7 @@ def render_probes_for_view_exact(
     material,
     gb,
     n_envs: int,
-    rng: jax.Array,
+    rng: jax.Array | None = None,
     chunk: int = 1024,
 ) -> jnp.ndarray:
     """Reference-parity probe stack [n_envs, H, W, 18] with EXACT per-ray
@@ -236,7 +236,13 @@ def render_probes_for_view_exact(
     through the BVH (dreammat_material.py:490-507 get_lights semantics).
     Occlusion is env-independent, so each direction is traced ONCE and the
     hit mask is reused by all n_envs environments (one trace amortizes the
-    full 6 probes x n_envs stack for the view)."""
+    full 6 probes x n_envs stack for the view).
+
+    ``rng`` is accepted for signature symmetry with the MC path but is
+    UNUSED: both samplers run with is_train=False (fixed fibonacci sets,
+    no random azimuth), so the ground truth is deterministic."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     H, W = gb.mask.shape
     P = gb.fg_pos.shape[0]
     diff_samples = material.diffuse_dir_samples

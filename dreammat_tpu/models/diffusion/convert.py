@@ -279,6 +279,9 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
+    # scannet.pt-style wrapper: {"model": state_dict} (NormalBae)
+    if isinstance(sd, dict) and isinstance(sd.get("model"), dict):
+        sd = sd["model"]
     return {k: v.numpy() for k, v in sd.items()}
 
 

@@ -20,9 +20,11 @@ render-derived preprocessing instead of the light-probe ControlNet:
   in ``models/detectors.py`` — runs on the RENDERED image in-trace;
   weight-gated (``hed_weights_path`` loads the real ControlNetHED.pth,
   random-init otherwise);
-- ``normal`` (NormalBae): requires the pretrained EfficientNet-B5
-  detector the reference downloads at runtime; raises with that
-  explanation — ``self-normal`` covers renderer-derived normals.
+- ``normal``: the NormalBae estimator (EfficientNet-B5 + NNET decoder)
+  rebuilt in ``models/detectors.py``, run on the RENDERED image in-trace;
+  weight-gated (``normalbae_weights_path`` loads the real scannet.pt,
+  else random-init plumbing) — ``self-normal`` stays the no-weights
+  renderer-derived alternative.
 """
 
 from __future__ import annotations
@@ -76,18 +78,25 @@ class StableDiffusionTripleGuidance(StableDiffusionLightGuidance):
         canny_upper_bound: int = 100
         # real ControlNetHED.pth when available; random-init otherwise
         hed_weights_path: str = ""
+        normalbae_weights_path: str = ""
         # reference config parity (p2p control path is IP2P-specific)
         p2p_condition_type: str = "p2p"
 
     cfg: Config
 
     def configure(self) -> None:
-        for ct in self.cfg.control_types:
-            if ct == "normal":
-                raise NotImplementedError(
-                    "control type 'normal' needs the pretrained NormalBae "
-                    "detector the reference downloads at runtime; use "
-                    "'self-normal' for renderer-derived normals"
+        self._normalbae = None
+        if "normal" in self.cfg.control_types:
+            from dreammat_tpu.models.detectors import load_normalbae
+
+            self._normalbae = load_normalbae(
+                self.cfg.normalbae_weights_path or None
+            )
+            if not self.cfg.normalbae_weights_path:
+                dreammat_tpu.warn(
+                    "normal control type: no normalbae_weights_path given — "
+                    "running the NormalBae detector RANDOM-INIT (plumbing "
+                    "only); 'self-normal' uses renderer-derived normals"
                 )
         self._hed = None
         if "hed" in self.cfg.control_types:
@@ -101,7 +110,7 @@ class StableDiffusionTripleGuidance(StableDiffusionLightGuidance):
                 )
         # map the public control types to conditioning channel counts
         self._cn_channels = {"depth": 3, "canny": 3, "self-normal": 3,
-                             "hed": 3, "light": 22}
+                             "normal": 3, "hed": 3, "light": 22}
         super().configure()
 
     def _image_conditions(self, condition_map, rgb=None):
@@ -129,6 +138,11 @@ class StableDiffusionTripleGuidance(StableDiffusionLightGuidance):
                 image_cond.append(prep(condition_map[..., 0:1], want_channels=3))
             elif ct == "self-normal":
                 image_cond.append(prep(condition_map[..., 1:4]))
+            elif ct == "normal":
+                # reference: NormalBae on the rendered image
+                # (csd_guidance.py:103-120 normal control path)
+                nb_maps = jax.vmap(self._normalbae)(rgb)
+                image_cond.append(prep(nb_maps))
             elif ct == "hed":
                 # reference: HED on the rendered image, scribble binarized
                 # (csd_guidance.py:636-641)

@@ -96,12 +96,14 @@ def test_parity_residuals_and_controlnet_delta(rig, tmp_path):
     assert cn["rel_l2_mean"] < 0.5, cn
 
 
-def test_exact_probe_renderer_matches_conv_bake_on_sphere(rig):
+def test_exact_probe_renderer_matches_mc_on_sphere(rig):
     """render_probes_for_view_exact (per-ray BVH visibility, the harness's
-    ground truth) agrees with the conv-bake fast path on a convex sphere,
-    where baked visibility is exact — isolating the estimator difference
-    (GGX importance sampling vs octahedral quadrature) from visibility
-    error. Also pins shape/NaN-freeness of the exact path."""
+    ground truth) agrees with render_probes_for_view_mc (per-pixel MC with
+    baked per-vertex visibility) on a convex sphere, where baked visibility
+    is exact — pinning exact-vs-MC estimator agreement when the visibility
+    term cancels. Also pins shape/NaN-freeness of the exact path. (The
+    octahedral conv-bake fast path is compared separately via
+    tools/quantify_fastpath.py / the residual-table test above.)"""
     from dreammat_tpu.data.cameras import camera_rays_and_matrices
 
     geo, mat, ren, cam = rig

@@ -90,3 +90,124 @@ def test_hed_torch_key_map_is_bijective_and_loads():
     w_t = sd["block1.convs.0.weight"]            # [co,ci,kh,kw]
     w_j = np.asarray(d.params["block1"]["conv0"]["w"])  # [kh,kw,ci,co]
     assert np.allclose(w_j, w_t.transpose(2, 3, 1, 0))
+
+
+# ---------------------------------------------------------------------------
+# NormalBae
+# ---------------------------------------------------------------------------
+
+def test_normalbae_forward_shapes_and_unit_normals():
+    params = det.init_normalbae_params(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    preds = det.normalbae_forward(params, x)
+    assert [tuple(p.shape) for p in preds] == [
+        (1, 8, 8, 4), (1, 16, 16, 4), (1, 32, 32, 4), (1, 64, 64, 4)]
+    for p in preds:
+        n = np.asarray(p)[..., :3]
+        assert np.allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-4)
+        assert (np.asarray(p)[..., 3] > 0.01 - 1e-6).all()  # kappa positive
+    d = det.NormalBaeDetector(params)
+    img = np.asarray(d(jax.random.uniform(jax.random.PRNGKey(2), (32, 32, 3))))
+    assert img.shape == (32, 32, 3)
+    assert (img >= 0).all() and (img <= 1).all()
+
+
+def test_normalbae_up_align_corners_matches_torch():
+    """align_corners=True bilinear against the torch oracle."""
+    import torch
+    import torch.nn.functional as F
+
+    x = np.random.RandomState(0).rand(1, 5, 7, 3).astype(np.float32)
+    ours = np.asarray(det._up_align_corners(jnp.asarray(x), 10, 14))
+    ref = F.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(10, 14),
+        mode="bilinear", align_corners=True,
+    ).numpy().transpose(0, 2, 3, 1)
+    assert np.allclose(ours, ref, atol=1e-5)
+
+
+def test_normalbae_torch_key_map_bijective_and_loads():
+    """Synthesized scannet.pt (NNET/GN names+shapes) loads with every
+    mapped key consumed, shapes preserved, transposes correct."""
+    params = det.init_normalbae_params(jax.random.PRNGKey(0))
+    kmap = det.normalbae_torch_key_map("GN")
+
+    # flax-side completeness: every array leaf is covered by the map
+    def paths(tree, prefix=""):
+        out = {}
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                if k == "architecture":
+                    continue
+                out.update(paths(v, f"{prefix}{k}/"))
+        elif isinstance(tree, (list, tuple)):
+            for i, v in enumerate(tree):
+                out.update(paths(v, f"{prefix}{i}/"))
+        else:
+            out[prefix[:-1]] = tree
+        return out
+
+    flat = paths(params)
+    assert set(flat.keys()) == set(kmap.keys())
+    # torch-side names unique
+    tnames = [v[0] for v in kmap.values()]
+    assert len(tnames) == len(set(tnames))
+
+    # synthesize the torch state dict from the flax shapes
+    rs = np.random.RandomState(0)
+    sd = {}
+    for fpath, (tkey, is_conv) in kmap.items():
+        shp = tuple(flat[fpath].shape)
+        if is_conv:
+            if "out_conv_res" in fpath and fpath.split("/")[-2].isdigit():
+                tshape = (shp[3], shp[2], 1)          # Conv1d [co,ci,1]
+            else:
+                tshape = (shp[3], shp[2], shp[0], shp[1])
+        else:
+            tshape = shp
+        sd[tkey] = rs.randn(*tshape).astype(np.float32)
+
+    import io
+    import os
+    import tempfile
+
+    import torch
+
+    buf = io.BytesIO()
+    torch.save({"model": {f"module.{k}": torch.from_numpy(v)
+                          for k, v in sd.items()}}, buf)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "scannet.pt")
+        with open(p, "wb") as fh:
+            fh.write(buf.getvalue())
+        d = det.load_normalbae(p)
+
+    got = paths(d.params)
+    assert {k: tuple(v.shape) for k, v in got.items()} == {
+        k: tuple(v.shape) for k, v in flat.items()}
+    # regular conv transpose round-trip
+    w_t = sd["decoder.conv2.weight"]
+    assert np.allclose(np.asarray(got["decoder/conv2/w"]),
+                       w_t.transpose(2, 3, 1, 0))
+    # depthwise conv: torch [c,1,kh,kw] -> flax [kh,kw,1,c]
+    w_t = sd["encoder.original_model.blocks.0.0.conv_dw.weight"]
+    assert w_t.shape[1] == 1
+    assert np.allclose(np.asarray(got["encoder/blocks_0_0/conv_dw/w"]),
+                       w_t.transpose(2, 3, 1, 0))
+    # conv1d head: torch [co,ci,1] -> flax [1,1,ci,co]
+    w_t = sd["decoder.out_conv_res4.0.weight"]
+    assert np.allclose(np.asarray(got["decoder/out_conv_res4/0/w"]),
+                       w_t.transpose(2, 1, 0)[None])
+
+
+def test_normalbae_encoder_channel_progression():
+    """Skip channels must match the NNET decoder contract
+    (24/40/64/176 + 2048 pre-bn2 head)."""
+    params = det.init_normalbae_params(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 64, 64, 3))
+    s0, s1, s2, s4, head = det.efficientnet_b5_features(params["encoder"], x)
+    assert s0.shape == (1, 32, 32, 24)
+    assert s1.shape == (1, 16, 16, 40)
+    assert s2.shape == (1, 8, 8, 64)
+    assert s4.shape == (1, 4, 4, 176)
+    assert head.shape == (1, 2, 2, 2048)

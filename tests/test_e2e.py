@@ -54,7 +54,9 @@ def test_training_updates_params(tiny_run):
 
     params0 = system.geometry.init(jax.random.PRNGKey(0))
     diff = float(abs(np.asarray(state["geo"]["table"]) - np.asarray(params0["table"])).sum())
-    assert np.isfinite(diff)
+    # training must actually move the hashgrid table (a no-op optimizer or a
+    # zero SDS grad would leave diff == 0)
+    assert np.isfinite(diff) and diff > 0.0, diff
     leaves = jax.tree_util.tree_leaves(state["geo"])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
@@ -134,3 +136,41 @@ def test_hybrid_mc_training(tmp_path):
         for l in __import__("jax").tree_util.tree_leaves(state["geo"])
     ])
     assert np.isfinite(leaves).all()
+
+
+# SURVEY §4 fixed-seed regression: pins the eval render after the 2 fixed-seed
+# train steps of `tiny_run` to a coarse fingerprint (4x4 block means x RGB).
+# Regenerate after an INTENTIONAL behavior change with:
+#   DREAMMAT_REGEN_GOLDEN=1 python -m pytest tests/test_e2e.py::test_fixed_seed_render_fingerprint -s
+_RENDER_GOLDEN = np.array([
+    0.997742, 0.998492, 0.999564, 0.910555, 0.949541, 0.995047, 0.914133,
+    0.949545, 0.995120, 0.997969, 0.998737, 0.999783, 0.890328, 0.918821,
+    0.959858, 0.771996, 0.847852, 0.948509, 0.766517, 0.844128, 0.946471,
+    0.930380, 0.952531, 0.981007, 0.890000, 0.908126, 0.935077, 0.733737,
+    0.783035, 0.852875, 0.730329, 0.780403, 0.852602, 0.887935, 0.907302,
+    0.936172, 0.998683, 0.998800, 0.998979, 0.874054, 0.881108, 0.892575,
+    0.869020, 0.876017, 0.887657, 0.997480, 0.997688, 0.998034,
+])
+
+
+def test_fixed_seed_render_fingerprint(tiny_run):
+    import jax
+
+    cfg, system, dm, state = tiny_run
+    batch = dm.eval_view(0)
+    out = (system._render_fn or system.make_render_fn())(
+        state["geo"], batch["gbuffer"], batch["env_id"],
+        jax.random.PRNGKey(0), batch.get("light_table"),
+    )
+    rgb = np.asarray(out["comp_rgb"], np.float64)
+    H, W, _ = rgb.shape
+    fp = rgb.reshape(4, H // 4, 4, W // 4, 3).mean(axis=(1, 3)).ravel()
+    if os.environ.get("DREAMMAT_REGEN_GOLDEN"):
+        print("\n_RENDER_GOLDEN = np.array([" +
+              ", ".join(f"{v:.6f}" for v in fp) + "])")
+        return
+    assert _RENDER_GOLDEN is not None, "golden not generated yet"
+    assert fp.shape == _RENDER_GOLDEN.shape
+    # loose tolerance: catches silent semantic changes, ignores fp noise
+    assert np.abs(fp - _RENDER_GOLDEN).max() < 0.02, (
+        np.abs(fp - _RENDER_GOLDEN).max(), fp.tolist())

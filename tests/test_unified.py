@@ -121,14 +121,6 @@ def test_triple_guidance_canny_and_grad():
     e = soft_canny(img, 50, 100)
     assert float(e[0, 8, 8, 0]) > 0.5      # at the step edge
     assert float(e[0, 8, 2, 0]) == 0.0     # flat region
-    import pytest
-
-    # NormalBae stays weight-gated; HED is rebuilt (models/detectors.py)
-    with pytest.raises(NotImplementedError):
-        dreammat_tpu.find("stable-diffusion-triple-guidance")(
-            {"model_size": "tiny", "use_controlnet": True,
-             "control_types": ["normal"], "cache_dir": None}
-        )
 
 
 def test_triple_guidance_hed_control():

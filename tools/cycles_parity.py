@@ -128,11 +128,9 @@ def mc_reference_stack(ren, mat, cam, n_envs, res, cond_res, tmp_dir):
     from dreammat_tpu.data import prerender as pre
     from dreammat_tpu.data.cameras import camera_rays_and_matrices
 
-    # exact visibility: drop the baked table, trace every sample ray
-    baked = mat.baked_visibility
-    mat.set_baked_visibility(None)
-    mat.set_raytracer(ren.trace)
-
+    # render_probes_for_view_exact traces renderer.trace directly and never
+    # consults the material's baked-visibility/raytracer state, so no
+    # state toggling is needed here.
     import time
 
     Nv = len(cam)
@@ -159,7 +157,6 @@ def mc_reference_stack(ren, mat, cam, n_envs, res, cond_res, tmp_dir):
         img[np.asarray(gb.fg_idx)[valid]] = t[valid]
         raw_depth[i] = img.reshape(res, res)
 
-    mat.set_baked_visibility(baked)
     pre.write_reference_png_cache(tmp_dir, lightmaps, raw_depth, normals)
     lm, d, n = pre.load_reference_png_cache(tmp_dir, Nv, n_envs, cond_res, cond_res)
     stacks = np.concatenate(

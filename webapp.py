@@ -28,8 +28,64 @@ STATE = {
     "trial_dir": None,
     "started": None,
     "cmd": None,
+    "killed": None,       # watchdog kill reason, shown in status
+    "last_poll": None,    # last UI status poll (the reference's `alive` file)
 }
 LOCK = threading.Lock()
+
+# Watchdog defaults (reference gradio_app.py:460-510 semantics: SIGKILL hung
+# or abandoned runs). hard/stale are generous because first-compile of
+# SD-sized models takes minutes; alive (UI-poll) is opt-in like the
+# reference's `watch` mode.
+HARD_TIMEOUT = 4 * 3600   # max total run seconds
+STALE_TIMEOUT = 1800      # max seconds without a progress-file update
+ALIVE_TIMEOUT = 0         # 0 = disabled; else max seconds between UI polls
+WATCH_INTERVAL = 5.0
+
+
+def watchdog_reason(now, started, progress_mtime, last_poll,
+                    hard_timeout=None, stale_timeout=None, alive_timeout=None):
+    """Pure kill-decision (testable): returns a reason string or None.
+
+    Mirrors gradio_app.py:484-500 loop_check_alive: stale heartbeat =>
+    SIGKILL; plus a hard wall-clock cap (the reference run() generator's
+    EXP timeouts)."""
+    hard = HARD_TIMEOUT if hard_timeout is None else hard_timeout
+    stale = STALE_TIMEOUT if stale_timeout is None else stale_timeout
+    alive = ALIVE_TIMEOUT if alive_timeout is None else alive_timeout
+    if started is None:
+        return None
+    if hard and now - started > hard:
+        return f"hard timeout ({hard}s)"
+    # progress staleness counts from the later of start / last update so a
+    # long compile before the first progress write isn't mistaken for a hang
+    last_progress = max(started, progress_mtime or 0.0)
+    if stale and now - last_progress > stale:
+        return f"stale progress ({stale}s without update)"
+    if alive and last_poll is not None and now - last_poll > alive:
+        return f"UI abandoned ({alive}s without poll)"
+    return None
+
+
+def _watchdog_loop(proc, trial_dir, hard_timeout=None, stale_timeout=None,
+                   alive_timeout=None, interval=WATCH_INTERVAL):
+    progress_path = os.path.join(trial_dir, "progress")
+    while proc.poll() is None:
+        now = time.time()
+        with LOCK:
+            started = STATE["started"] if STATE["proc"] is proc else None
+            last_poll = STATE["last_poll"]
+        mtime = os.path.getmtime(progress_path) if os.path.exists(progress_path) else None
+        reason = watchdog_reason(now, started, mtime, last_poll,
+                                 hard_timeout, stale_timeout, alive_timeout)
+        if reason is not None:
+            proc.kill()  # SIGKILL, gradio_app.py:495
+            proc.wait()
+            with LOCK:
+                if STATE["proc"] is proc:
+                    STATE["killed"] = reason
+            return
+        time.sleep(interval)
 
 PAGE = """<!doctype html><html><head><title>dreammat-tpu</title>
 <style>body{{font-family:sans-serif;max-width:720px;margin:2em auto}}
@@ -53,6 +109,8 @@ def status_text():
     with LOCK:
         proc = STATE["proc"]
         trial = STATE["trial_dir"]
+        killed = STATE["killed"]
+        STATE["last_poll"] = time.time()  # UI heartbeat (reference `alive` file)
     if proc is None:
         return "idle", ""
     progress = ""
@@ -60,6 +118,8 @@ def status_text():
         progress = open(os.path.join(trial, "progress")).read().strip()
     if proc.poll() is None:
         return f"running ({progress})", preview_html(trial)
+    if killed:
+        return f"killed by watchdog: {killed}", preview_html(trial)
     return f"finished (exit {proc.returncode}) {progress}", preview_html(trial)
 
 
@@ -127,19 +187,36 @@ class Handler(BaseHTTPRequestHandler):
                 f"trainer.max_steps={steps}",
                 "exp_root_dir=outputs/webapp", "use_timestamp=false",
             ]
-            STATE["proc"] = subprocess.Popen(cmd)
+            proc = subprocess.Popen(cmd)
+            STATE["proc"] = proc
             STATE["trial_dir"] = trial_dir
             STATE["started"] = time.time()
             STATE["cmd"] = cmd
+            STATE["killed"] = None
+            STATE["last_poll"] = time.time()
+            threading.Thread(
+                target=_watchdog_loop, args=(proc, trial_dir), daemon=True
+            ).start()
         self.send_response(303)
         self.send_header("Location", "/")
         self.end_headers()
 
 
 def main():
+    global HARD_TIMEOUT, STALE_TIMEOUT, ALIVE_TIMEOUT
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--hard-timeout", type=int, default=HARD_TIMEOUT,
+                    help="SIGKILL the run after this many seconds total (0=off)")
+    ap.add_argument("--stale-timeout", type=int, default=STALE_TIMEOUT,
+                    help="SIGKILL if the progress file stops updating (0=off)")
+    ap.add_argument("--alive-timeout", type=int, default=ALIVE_TIMEOUT,
+                    help="SIGKILL if no UI poll for this long (0=off; "
+                         "reference gradio_app.py watch mode)")
     args = ap.parse_args()
+    HARD_TIMEOUT = args.hard_timeout
+    STALE_TIMEOUT = args.stale_timeout
+    ALIVE_TIMEOUT = args.alive_timeout
     server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
     print(f"serving on http://localhost:{args.port}")
     server.serve_forever()
