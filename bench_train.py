@@ -108,7 +108,8 @@ def main():
                   batch["env_id"], batch["elevation"], batch["azimuth"],
                   batch["camera_distances"], rng, batch.get("light_table"),
                   batch.get("enc_maps"))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # value pull: through the remote tunnel
+    # block_until_ready does not reliably block (see bench.py)
     n = 10
     # (a) fixed batch: pure device step rate (no host collate / H2D)
     t1 = time.time()
@@ -117,7 +118,7 @@ def main():
                       batch["env_id"], batch["elevation"], batch["azimuth"],
                       batch["camera_distances"], jax.random.fold_in(rng, i),
                       batch.get("light_table"), batch.get("enc_maps"))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     sps_device = n / (time.time() - t1)
     # (b) fresh batch each step: includes collate + transfers
     t1 = time.time()
@@ -127,7 +128,7 @@ def main():
                       batch["env_id"], batch["elevation"], batch["azimuth"],
                       batch["camera_distances"], jax.random.fold_in(rng, i),
                       batch.get("light_table"), batch.get("enc_maps"))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     dt = time.time() - t1
     sps = n / dt
     dreammat_tpu.info("device-only %.2f it/s, with-collate %.2f it/s", sps_device, sps)
@@ -144,15 +145,20 @@ def main():
 
     try:
         rstep = jax.jit(jax.grad(render_loss))
+
+        def drain(tree):
+            leaf = jax.tree_util.tree_leaves(tree)[0]
+            float(jnp2.asarray(leaf).ravel()[0])
+
         g = rstep(state["geo"], batch["gbuffer"], batch["env_id"], rng, batch.get("light_table"),
                   batch.get("enc_maps"))
-        jax.block_until_ready(g)
+        drain(g)
         t1 = time.time()
         for i in range(n):
             g = rstep(state["geo"], batch["gbuffer"], batch["env_id"],
                       jax.random.fold_in(rng, i), batch.get("light_table"),
                       batch.get("enc_maps"))
-        jax.block_until_ready(g)
+        drain(g)
         sps_render = n / (time.time() - t1)
         dreammat_tpu.info("render-only grad: %.2f it/s", sps_render)
     except Exception as e:  # diagnostic only; never block the main numbers

@@ -73,6 +73,18 @@ def debug(msg, *a):
 # ---------------------------------------------------------------------------
 import os as _os
 
+# backend override: the TPU image force-registers its PJRT plugin and pins
+# JAX_PLATFORMS at interpreter start, so the env var alone cannot select
+# cpu. DREAMMAT_PLATFORM=cpu routes through jax.config before backend init
+# (works for every entry point + subprocess that imports this package).
+if _os.environ.get("DREAMMAT_PLATFORM"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["DREAMMAT_PLATFORM"])
+    except Exception:
+        pass
+
 if _os.environ.get("DREAMMAT_NO_COMPILE_CACHE") != "1":
     try:
         import jax as _jax

@@ -69,6 +69,12 @@ class RandomCameraDataModule(BaseObject):
         # tables are dropped and training shades through the exact estimator
         fastpath_check: bool = False
         fastpath_rmse_threshold: float = 0.08
+        # gradient-space check (runs with fastpath_check): cosine between
+        # the fast-path and exact-MC material-feature gradients on a pixel
+        # subset. Separates cleanly: smooth geometry ~0.93, self-occluding
+        # torus ~0.23 (exact-MC seed-to-seed floor ~0.75). 0 disables.
+        fastpath_grad_cos_threshold: float = 0.5
+        fastpath_grad_pixels: int = 4096
         # hybrid estimator interleave: every N-th step shades through the
         # exact MC path (no light table) even when tables are available.
         # Bounds the bias of baked per-vertex visibility under hard
@@ -150,17 +156,34 @@ class RandomCameraDataModule(BaseObject):
             rmse = prerender_lib.fastpath_residual(
                 self.renderer, self.material, self.data
             )
-            if rmse > cfg.fastpath_rmse_threshold:
+            gcos = None
+            if cfg.fastpath_grad_cos_threshold > 0 and rmse <= cfg.fastpath_rmse_threshold:
+                # color RMSE alone misses the torus failure mode (gradient
+                # nearly orthogonal while the image looks fine) — the SDS
+                # training signal is the gradient, so check it too
+                gcos = prerender_lib.fastpath_grad_cos(
+                    self.renderer, self.material, self.data,
+                    grad_pixels=cfg.fastpath_grad_pixels,
+                )
+            if rmse > cfg.fastpath_rmse_threshold or (
+                gcos is not None and gcos < cfg.fastpath_grad_cos_threshold
+            ):
                 dreammat_tpu.warn(
-                    "fast-path RMSE %.4f > %.4f: dropping prefiltered tables, "
+                    "fast-path check failed (color RMSE %.4f vs <= %.4f, "
+                    "grad-cos %s vs >= %.2f): dropping prefiltered tables, "
                     "training will shade through the exact MC estimator",
                     rmse, cfg.fastpath_rmse_threshold,
+                    "n/a" if gcos is None else f"{gcos:.3f}",
+                    cfg.fastpath_grad_cos_threshold,
                 )
                 self.data.table_spec = None
             else:
                 dreammat_tpu.info(
-                    "fast-path check: color RMSE %.4f vs exact MC (<= %.4f)",
+                    "fast-path check: color RMSE %.4f (<= %.4f), grad-cos %s "
+                    "(>= %.2f) vs exact MC",
                     rmse, cfg.fastpath_rmse_threshold,
+                    "n/a" if gcos is None else f"{gcos:.3f}",
+                    cfg.fastpath_grad_cos_threshold,
                 )
         if cfg.blender_generate and cfg.reference_cache_dir:
             lm, d, n = prerender_lib.load_reference_png_cache(

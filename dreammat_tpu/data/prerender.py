@@ -240,9 +240,17 @@ def render_probes_for_view_exact(
 
     ``rng`` is accepted for signature symmetry with the MC path but is
     UNUSED: both samplers run with is_train=False (fixed fibonacci sets,
-    no random azimuth), so the ground truth is deterministic."""
+    no random azimuth), so the ground truth is deterministic.
+
+    Dispatch structure: chunks are shaded in macro-batches of
+    ``chunks_per_dispatch`` (Python loop over one jitted lax.map), NOT one
+    device program over all chunks — a full 512^2 view is ~10^8 traced
+    rays, and a single execution that long trips the remote-runtime
+    execution deadline (observed as 'TPU device error / kernel fault').
+    Bounded dispatches also give per-batch progress and retry points."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    chunks_per_dispatch = 4
     H, W = gb.mask.shape
     P = gb.fg_pos.shape[0]
     diff_samples = material.diffuse_dir_samples
@@ -325,7 +333,21 @@ def render_probes_for_view_exact(
     vdr_c = padded(gb.fg_viewdir, unit=True).reshape(-1, chunk, 3)
     val_c = padded(gb.fg_valid.astype(jnp.float32)).reshape(-1, chunk) > 0.5
 
-    out = jax.lax.map(shade_chunk, (pos_c, nrm_c, vdr_c, val_c))  # [nc,E,chunk,18]
+    nc = pos_c.shape[0]
+    g = chunks_per_dispatch
+    shade_batch = jax.jit(lambda args: jax.lax.map(shade_chunk, args))
+    outs = []
+    for s in range(0, nc, g):
+        e = min(s + g, nc)
+        if e - s < g and s > 0:
+            # reuse the compiled g-chunk program on a tail padded with the
+            # last rows (results past nc are sliced off below)
+            idx = np.concatenate([np.arange(s, e), np.full(g - (e - s), nc - 1)])
+            batch = tuple(x[idx] for x in (pos_c, nrm_c, vdr_c, val_c))
+        else:
+            batch = tuple(x[s:e] for x in (pos_c, nrm_c, vdr_c, val_c))
+        outs.append(shade_batch(batch)[: e - s])
+    out = jnp.concatenate(outs, axis=0)  # [nc,E,chunk,18]
     out = jnp.moveaxis(out, 1, 0).reshape(n_envs, -1, 18)[:, :P]
     img = jnp.zeros((n_envs, H * W, 18))
     vals = jnp.where(gb.fg_valid[None, :, None], out, 0.0)
@@ -760,6 +782,68 @@ def fastpath_residual(
     valid = np.asarray(gb.fg_valid)
     d = (np.asarray(pf["color"]) - np.asarray(mc["color"]))[valid]
     return float(np.sqrt(np.mean(d ** 2)))
+
+
+def fastpath_grad_cos(
+    renderer, material, data: "PrerenderData", view_id: int = 0,
+    env_id: int = 0, grad_pixels: int = 4096,
+) -> float:
+    """Gradient-space fast-path check: cosine between d(sum(color*W))/d(mat
+    features) through the prefiltered tables and through the exact MC
+    estimator (per-ray BVH visibility), on a pixel subset.
+
+    Color RMSE alone misses the torus failure mode: on hard self-occlusion
+    the fast path's pointwise color error can sit near the acceptance
+    threshold while its GRADIENT direction w.r.t. the material features is
+    nearly orthogonal to the exact estimator's (hardware-measured grad-cos
+    ~0.23 vs an exact-MC seed-to-seed floor of ~0.75 on a torus — dir-bin
+    filtering and mesh density both leave it unmoved, i.e. the loss is
+    intrinsic to prefiltering occluded radiance, not resolution). The
+    training signal, not the image, is what SDS consumes — so the fallback
+    decision must look at the gradient. Cost: one exact-MC vjp over
+    ``grad_pixels`` pixels (~seconds), run once per mesh at setup."""
+    import jax
+
+    gb = data.gbuffers[view_id]
+    GP = int(min(grad_pixels, gb.fg_pos.shape[0]))
+    sl = lambda a: a[:GP]
+    W = jax.random.uniform(jax.random.PRNGKey(3), (GP, 3))
+    table = jnp.concatenate(
+        [
+            jnp.asarray(data.table_diff)[env_id][:, None].astype(jnp.float32),
+            data.table_spec[view_id, env_id].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+    def loss_fast(feats):
+        out, _ = material(
+            sl(gb.fg_pos), feats, feats, sl(gb.fg_viewdir), sl(gb.fg_normal),
+            jnp.int32(env_id), jax.random.PRNGKey(7), is_train=False,
+            mask=sl(gb.fg_valid), vis_data=(sl(gb.fg_tri), sl(gb.fg_bary)),
+            light_table=table,
+        )
+        return jnp.sum(out["color"] * W)
+
+    z = jnp.zeros((GP, 5))
+    g_fast = np.asarray(jax.grad(loss_fast)(z))
+
+    baked = material.baked_visibility
+    material.set_baked_visibility(None)
+    material.set_raytracer(renderer.trace)
+
+    def loss_exact(feats):
+        out, _ = material(
+            sl(gb.fg_pos), feats, feats, sl(gb.fg_viewdir), sl(gb.fg_normal),
+            jnp.int32(env_id), jax.random.PRNGKey(7), is_train=False,
+            mask=sl(gb.fg_valid),
+        )
+        return jnp.sum(out["color"] * W)
+
+    g_exact = np.asarray(jax.grad(loss_exact)(z))
+    material.set_baked_visibility(baked)
+    denom = float(np.linalg.norm(g_fast) * np.linalg.norm(g_exact)) + 1e-12
+    return float(np.sum(g_fast * g_exact) / denom)
 
 
 def load_reference_png_cache(dir_path: str, n_views: int, n_envs: int,

@@ -76,9 +76,13 @@ class ControlNet(nn.Module):
         sample: jnp.ndarray,       # [B,h,w,4] noisy latents
         timesteps: jnp.ndarray,    # [B]
         context: jnp.ndarray,      # [B,N,cross]
-        controlnet_cond: jnp.ndarray,  # [B,H,W,C_cond] at image resolution
+        controlnet_cond: jnp.ndarray,  # [B or 1,H,W,C_cond] at image res
         conditioning_scale: float | jnp.ndarray = 1.0,
     ):
+        # controlnet_cond may be batch-1 while sample is batch-B (CFG
+        # replicas share one condition stack): the image-resolution stem —
+        # the lowest-MFU convs in the denoise step — runs once and its
+        # latent-res output broadcasts over the replicas in `x + cond`.
         ucfg = self.cfg.unet
         ch0 = ucfg.block_out_channels[0]
         temb = L.timestep_embedding(

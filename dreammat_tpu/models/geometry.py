@@ -83,6 +83,15 @@ class DreamMatMesh(BaseObject):
                 mesh_up=self.cfg.shape_init_mesh_up,
                 mesh_front=self.cfg.shape_init_mesh_front,
             )
+        elif isinstance(self.cfg.shape_init, str) and self.cfg.shape_init.startswith("procedural:"):
+            # hermetic runs without a mesh asset (smoke tests, proof kits)
+            kind = self.cfg.shape_init.split(":", 1)[1]
+            from dreammat_tpu.models.mesh import make_icosphere
+
+            if kind != "sphere":
+                raise ValueError(f"unknown procedural shape '{kind}'")
+            level = int(self.cfg.shape_init_params or 2)
+            self.mesh = make_icosphere(level)
 
     def set_mesh(self, mesh: Mesh) -> None:
         self.mesh = mesh

@@ -195,8 +195,13 @@ class StableDiffusionLightGuidance(BaseObject):
         latent_in = jnp.concatenate([latents_noisy] * n_copies, axis=0)
         t_in = jnp.concatenate([t] * n_copies, axis=0)
         if image_cond is not None:
-            cond_in = [jnp.concatenate([c] * n_copies, axis=0) for c in image_cond]
-            down, mid = self.multi_control_forward(params, latent_in, t_in, text_embeddings, cond_in, scales)
+            # the CFG replicas share ONE condition stack — keep it batch-1:
+            # the ControlNet's image-resolution conditioning stem (the
+            # lowest-MFU convs of the whole step, 512^2 at 16-96 channels)
+            # then runs once instead of n_copies times, and its latent-res
+            # output broadcasts over the replica batch in `x + cond`
+            down, mid = self.multi_control_forward(
+                params, latent_in, t_in, text_embeddings, image_cond, scales)
         else:
             down, mid = None, None
         return self.unet.apply(

@@ -390,3 +390,84 @@ def normal_consistency_loss(mesh: "Mesh", face_pairs: jnp.ndarray) -> jnp.ndarra
     n0 = fn[face_pairs[:, 0]]
     n1 = fn[face_pairs[:, 1]]
     return jnp.mean(1.0 - jnp.sum(n0 * n1, axis=-1))
+
+
+def subdivide_mesh(mesh: Mesh, levels: int = 1,
+                   max_verts: int = 1 << 20) -> Mesh:
+    """Uniform midpoint (1:4) subdivision of the SAME geometric surface —
+    no smoothing, vertices stay on the original triangles.
+
+    Purpose: visibility-sample densification. The baked-visibility fast
+    path stores vis(x, omega) per VERTEX and barycentrically interpolates
+    (ops/visibility.py) — the reference instead traces exact per-step rays
+    at every pixel (dreammat_material.py:490-507), so coarse triangles
+    under hard self-occlusion (torus class) are the binding approximation.
+    Subdividing the renderer's mesh quadruples the spatial sample density
+    per level while rendering identically (midpoints are convex combos;
+    shared-edge midpoints are deduplicated so the surface stays watertight).
+
+    Authored vertex normals are angle-preserved by slerp-free averaging
+    (normalize(n_a + n_b)); UVs are midpoint-interpolated on the texture
+    topology with the same face-split pattern so t_tex_idx stays aligned
+    with t_pos_idx. Stops before a level that would exceed ``max_verts``.
+    """
+
+    def split_topology(verts, faces):
+        """One midpoint split: returns (new_verts_attr_fn, new_faces).
+        new_verts_attr_fn(attr[V,C]) -> attr[V+E,C] with midpoint rows."""
+        F = faces.shape[0]
+        edges = np.concatenate(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0
+        )
+        uniq, inv = np.unique(np.sort(edges, axis=1), axis=0, return_inverse=True)
+        V = verts.shape[0]
+        m01 = V + inv[:F]
+        m12 = V + inv[F:2 * F]
+        m20 = V + inv[2 * F:]
+        v0, v1, v2 = faces[:, 0], faces[:, 1], faces[:, 2]
+        new_faces = np.concatenate([
+            np.stack([v0, m01, m20], axis=1),
+            np.stack([v1, m12, m01], axis=1),
+            np.stack([v2, m20, m12], axis=1),
+            np.stack([m01, m12, m20], axis=1),
+        ], axis=0).astype(np.int32)
+
+        def expand(attr, normalize=False):
+            mids = 0.5 * (attr[uniq[:, 0]] + attr[uniq[:, 1]])
+            if normalize:
+                mids = mids / (np.linalg.norm(mids, axis=-1, keepdims=True) + 1e-12)
+            return np.concatenate([attr, mids], axis=0)
+
+        return expand, new_faces
+
+    v = np.asarray(mesh.v_pos, np.float64)
+    f = np.asarray(mesh.t_pos_idx, np.int64)
+    vn = np.asarray(mesh.v_nrm, np.float64) if mesh.v_nrm is not None else None
+    vt = np.asarray(mesh.v_tex, np.float64) if mesh.v_tex is not None else None
+    ft = np.asarray(mesh.t_tex_idx, np.int64) if mesh.t_tex_idx is not None else None
+
+    for _ in range(max(int(levels), 0)):
+        # each level adds one vertex per unique edge (E ~ 1.5F)
+        n_edges = len(np.unique(np.sort(np.concatenate(
+            [f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), axis=1), axis=0))
+        if v.shape[0] + n_edges > max_verts:
+            break
+        expand, f_new = split_topology(v, f)
+        v = expand(v)
+        if vn is not None:
+            vn = expand(vn, normalize=True)
+        if vt is not None and ft is not None:
+            expand_t, ft_new = split_topology(vt, ft)
+            vt = expand_t(vt)
+            ft = ft_new
+        f = f_new
+
+    return Mesh(
+        v_pos=jnp.asarray(v, jnp.float32),
+        t_pos_idx=jnp.asarray(f, jnp.int32),
+        v_nrm=jnp.asarray(vn, jnp.float32) if vn is not None
+        else jnp.asarray(compute_vertex_normals(
+            v.astype(np.float32), f.astype(np.int32))),
+        v_tex=jnp.asarray(vt, jnp.float32) if vt is not None else None,
+        t_tex_idx=jnp.asarray(ft, jnp.int32) if ft is not None else None,
+    )

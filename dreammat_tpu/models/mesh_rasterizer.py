@@ -106,7 +106,9 @@ class MeshRasterizer(BaseObject):
         slots are all-zero triangles, which the caster's degenerate-plane
         check masks to id -1. Elsewhere (CPU tests): chunked Möller-
         Trumbore scan. Returns (hit_id [N], hit [N])."""
-        if jax.default_backend() == "tpu":
+        from dreammat_tpu.utils.hw import is_tpu_backend
+
+        if is_tpu_backend():
             from dreammat_tpu.ops import bvh as bvh_lib
 
             F = tri.shape[0]

@@ -242,6 +242,14 @@ class RaytraceRenderer(BaseObject):
         # under hard self-occlusion (see ops/visibility.py); costs
         # supersample^2 x more one-time bake rays.
         visibility_supersample: int = 1
+        # midpoint-subdivision levels applied to the renderer's mesh before
+        # BVH/bake/G-buffers: 4x spatial visibility-sample density per level
+        # on the SAME surface (mesh.py:subdivide_mesh). The per-vertex bake
+        # interpolated across coarse triangles is the binding approximation
+        # under hard self-occlusion (torus-class grad-cos gap); density
+        # closes it. Costs 4^n bake rays/table rows, one-time.
+        visibility_subdiv: int = 0
+        visibility_subdiv_max_verts: int = 1 << 20
 
     cfg: Config
 
@@ -250,6 +258,13 @@ class RaytraceRenderer(BaseObject):
         self.material = material
         self.background = background
         self.mesh: Mesh = geometry.isosurface()
+        if self.cfg.visibility_subdiv > 0 and self.cfg.visibility_mode == "baked":
+            from dreammat_tpu.models.mesh import subdivide_mesh
+
+            self.mesh = subdivide_mesh(
+                self.mesh, self.cfg.visibility_subdiv,
+                max_verts=self.cfg.visibility_subdiv_max_verts,
+            )
         self.bvh = bvh_lib.build_bvh(
             np.asarray(self.mesh.v_pos), np.asarray(self.mesh.t_pos_idx)
         )

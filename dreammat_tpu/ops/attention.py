@@ -271,11 +271,23 @@ def _flash_backward(q, k, v, o, lse, g, block_q: int = 256, block_k: int = 512,
     )
 
 
-def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512,
-                    interpret: bool = False):
+def _fwd_blocks(n: int) -> tuple[int, int]:
+    """Forward block sizes from the hardware sweep (tools/tune_attention.py,
+    v5e, bf16, SD2.1 CFG-batch shapes, 2026-08-19): on the hot 4096-token
+    self-attention, block_q=1024 runs 0.67 ms vs 1.13 ms at the old
+    (256,512) default and 3.61 ms for XLA fused attention — fewer grid
+    programs amortize the full-K/V VMEM streaming better. At 1024 tokens
+    (1024,512) also edges the old default (0.14 vs 0.16 ms); shorter
+    sequences clamp block_q to the sequence."""
+    return min(1024, max(n, 128)), 512
+
+
+def flash_attention(q, k, v, block_q: int | None = None,
+                    block_k: int | None = None, interpret: bool = False):
     """q [B,N,H,D], k/v [B,M,H,D] -> [B,N,H,D]. Non-causal, no mask."""
-    return _flash_forward(q, k, v, block_q=block_q, block_k=block_k,
-                          interpret=interpret)[0]
+    bq, bk = _fwd_blocks(q.shape[1])
+    return _flash_forward(q, k, v, block_q=block_q or bq,
+                          block_k=block_k or bk, interpret=interpret)[0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -284,7 +296,9 @@ def _flash_attention_diff(q, k, v, interpret: bool = False):
 
 
 def _flash_fwd_rule(q, k, v, interpret):
-    out, lse = _flash_forward(q, k, v, interpret=interpret)
+    bq, bk = _fwd_blocks(q.shape[1])
+    out, lse = _flash_forward(q, k, v, block_q=bq, block_k=bk,
+                              interpret=interpret)
     return out, (q, k, v, out, lse)
 
 
@@ -313,16 +327,24 @@ def attention(q, k, v, use_pallas: str = "auto"):
     override = os.environ.get("DREAMMAT_ATTN")
     if override:
         use_pallas = {"pallas": "always", "xla": "never"}.get(override, use_pallas)
-    on_tpu = jax.default_backend() == "tpu"
+    from dreammat_tpu.utils.hw import is_tpu_backend
+
+    on_tpu = is_tpu_backend()
     # The flash kernels keep the WHOLE K/V in VMEM per program, with the
     # head dim padded to 128 lanes by Mosaic. Tiny head dims (toy/test
     # configs) or very long sequences therefore blow scoped VMEM (seen:
     # D=8, N=16384 -> 32 MB stack alloc) — and flash brings nothing at
     # D < 64 anyway. Fall back to XLA's fused attention there.
     D = q.shape[-1]
+    N = q.shape[1]
     M = k.shape[1]
     kv_vmem = 2 * M * max(D, 128) * 4  # bytes, f32 lanes-padded K+V
-    flash_ok = D >= 64 and kv_vmem <= (8 << 20)
+    # Short sequences go to XLA: the hardware sweep (tools/tune_attention.py,
+    # v5e) shows XLA's fused attention wins at 256-token self-attention
+    # (0.07 vs 0.15 ms) and 77-token cross-attention — the Pallas kernel's
+    # full-K/V streaming only pays off once both N and M are long enough to
+    # amortize it (1024 tok: 0.14 vs 0.69 ms; 4096 tok: 0.67 vs 3.61 ms).
+    flash_ok = D >= 64 and N >= 512 and M >= 512 and kv_vmem <= (8 << 20)
     if use_pallas == "never" or (use_pallas == "auto" and not (on_tpu and flash_ok)):
         return jax.nn.dot_product_attention(q, k, v)
     return _flash_attention_diff(q, k, v)

@@ -828,7 +828,9 @@ def cast_rays_chunked(bvh: FlatBVH, rays_o, rays_d, chunk: int = 1 << 16, t_max:
     DENSE_CAST_MAX_TRIS; Pallas on TPU, plane-equation XLA scan elsewhere)
     or the BVH while-loop traversal in fixed-size ray chunks for big ones."""
     if bvh.tri_packed.shape[0] <= DENSE_CAST_MAX_TRIS:
-        if jax.default_backend() == "tpu":
+        from dreammat_tpu.utils.hw import is_tpu_backend
+
+        if is_tpu_backend():
             return cast_rays_dense_pallas(bvh, rays_o, rays_d, t_max=t_max)
         return cast_rays_plane(bvh, rays_o, rays_d, t_max=t_max)
     R = rays_o.shape[0]

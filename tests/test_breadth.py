@@ -140,7 +140,12 @@ def test_textured_background():
 def test_solid_background_latent_dims():
     bg = dreammat_tpu.find("solid-color-background")({"n_output_dims": 4})
     dirs = jnp.zeros((5, 3))
-    assert bg(dirs).shape == (5, 4)
+    out = bg(dirs)
+    assert out.shape == (5, 4)
+    # every ray gets exactly the configured constant color, padded to the
+    # requested dims (reference solid_color_background.py default white)
+    expect = np.resize(np.asarray(bg.cfg.color, np.float32), 4)
+    assert np.allclose(np.asarray(out), expect[None, :], atol=1e-6)
 
 
 # -- patch renderer ----------------------------------------------------------
@@ -200,6 +205,13 @@ def test_patch_renderer_train_merge(patch_setup):
     assert np.isfinite(np.asarray(out["comp_rgb"])).all()
     # sample-dim keys come from the global (downsampled) pass
     assert out["weights"].shape[0] == (H // 4) * (W // 4)
+    # the blob density sits at the origin: central rays must accumulate
+    # more opacity than the image-corner rays (value check on the merged
+    # patch+global composite, not just shape/finiteness)
+    op = np.asarray(out["opacity"]).reshape(H, W)
+    center = op[H // 2 - 2:H // 2 + 2, W // 2 - 2:W // 2 + 2].mean()
+    corners = np.mean([op[0, 0], op[0, -1], op[-1, 0], op[-1, -1]])
+    assert center > corners + 0.05, (center, corners)
 
     # eval path delegates: full-res everywhere
     out_eval = rend.render_rays(

@@ -95,6 +95,11 @@ def test_mesh_loaders_obj(tmp_path):
     v, f, vt, ft = mesh_lib.load_obj(str(p))
     assert v.shape == (4, 3) and f.shape == (2, 3)
     assert vt.shape == (4, 2) and ft.shape == (2, 3)
+    # exact values (OBJ is 1-indexed; loader must return 0-indexed faces)
+    assert np.allclose(v, [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]])
+    assert np.array_equal(np.asarray(f), [[0, 1, 2], [1, 3, 2]])
+    assert np.allclose(vt, [[0, 0], [1, 0], [0, 1], [1, 1]])
+    assert np.array_equal(np.asarray(ft), [[0, 1, 2], [1, 3, 2]])
 
 
 def test_load_mesh_normalization(tmp_path):

@@ -83,6 +83,22 @@ def test_train_step_multidevice(trainer):
         params["controlnet"], opt_state, params["frozen"], batch, jax.random.PRNGKey(1)
     )
     assert np.isfinite(float(metrics["loss"]))
+    # the dp step actually trains: params moved, and the sharded step's
+    # loss matches the single-device step on the identical batch (psum'd
+    # grads over replicated data == unsharded math)
+    moved = sum(
+        float(jnp.abs(a - b).sum()) for a, b in zip(
+            jax.tree_util.tree_leaves(cnet),
+            jax.tree_util.tree_leaves(params["controlnet"]))
+    )
+    assert moved > 0
+    mesh42 = make_mesh(n_data=4, n_model=2)
+    step42 = trainer.make_train_step(mesh42)
+    _, _, m42 = step42(
+        params["controlnet"], trainer.tx.init(params["controlnet"]),
+        params["frozen"], batch, jax.random.PRNGKey(1)
+    )
+    assert np.allclose(float(metrics["loss"]), float(m42["loss"]), rtol=1e-4)
 
 
 def test_dataset_cfg_dropout(tmp_path):

@@ -74,6 +74,19 @@ def test_prerender_shapes(dm):
     assert d.table_diff.shape == (2, V, 3)
     assert np.isfinite(np.asarray(d.lightmaps, dtype=np.float32)).all()
     assert np.isfinite(np.asarray(d.table_spec, dtype=np.float32)).all()
+    # condition-map value contracts (reference uncond.py:540-557 semantics):
+    # inverse depth normalized to [0.3, 1] on hits, exactly 0 on background
+    dep = np.asarray(d.depths, np.float32)
+    mask = np.stack([np.asarray(g.mask) for g in d.gbuffers])[..., None]
+    assert dep.min() >= 0.0 and dep.max() <= 1.0 + 1e-3
+    assert np.abs(dep[~mask]).max() == 0.0
+    assert dep[mask].min() >= 0.3 - 1e-2
+    # encoded view-space normals land in [0,1] and decode to ~unit vectors
+    nrm = np.asarray(d.normals, np.float32)
+    assert nrm.min() >= -1e-3 and nrm.max() <= 1.0 + 1e-3
+    dec = nrm[mask[..., 0]] * 2.0 - 1.0
+    ln = np.linalg.norm(dec, axis=-1)
+    assert np.percentile(np.abs(ln - 1.0), 90) < 0.1
 
 
 def test_prerender_probe_content(dm):
@@ -232,6 +245,17 @@ def test_fastpath_check_and_fallback():
     )
     dm2.setup()
     assert dm2.data.table_spec is None  # impossible threshold -> fallback
+
+    # gradient-space gate: cosine can never reach 1.1, so the tables must
+    # drop even though the color RMSE is fine (torus failure mode: image
+    # looks right, training signal is wrong)
+    mat.set_baked_visibility(None)
+    ren3 = dreammat_tpu.find("raytracing-renderer")({}, geo, mat, bg)
+    dm3 = dreammat_tpu.find("random-camera-datamodule")(
+        dict(base, fastpath_grad_cos_threshold=1.1), ren3, mat
+    )
+    dm3.setup()
+    assert dm3.data.table_spec is None
 
 
 def test_static_maps_rotation():

@@ -75,6 +75,16 @@ def test_deepfloyd_prompt_processor(df_prompts):
     # T5-tiny d_model=64 embeddings at max_length=16
     assert pu.text.shape == (16, 64)
     assert pu.text_vd.shape == (4, 16, 64)
+    # view-dependent prompts actually vary by direction bucket, and the
+    # base prompt differs from the uncond embedding
+    vd = np.asarray(pu.text_vd)
+    assert not np.allclose(vd[0], vd[1])
+    assert not np.allclose(np.asarray(pu.text), np.asarray(pu.uncond))
+    # embeddings are a deterministic function of the prompt text
+    pp2 = dreammat_tpu.find("deep-floyd-prompt-processor")(
+        {"model_size": "tiny", "prompt": "a red apple", "use_cache": False}
+    )
+    assert np.allclose(np.asarray(pp2().text), np.asarray(pu.text))
 
 
 def test_deepfloyd_guidance_grad(df_prompts):

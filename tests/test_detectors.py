@@ -14,6 +14,17 @@ def test_hed_side_map_strides():
     sides = det.hed_side_maps(params, x)
     assert [s.shape[1] for s in sides] == [64, 32, 16, 8, 4]
     assert all(s.shape[-1] == 1 for s in sides)
+    # translation-equivariance of the conv tower: shifting a bright block
+    # by 8 px shifts the finest side map by 8 px (pure conv path, no
+    # global pooling) — a value property no shape check can fake
+    img = jnp.zeros((1, 64, 64, 3)).at[:, 16:24, 16:24, :].set(1.0)
+    img_sh = jnp.zeros((1, 64, 64, 3)).at[:, 24:32, 16:24, :].set(1.0)
+    s0 = np.asarray(det.hed_side_maps(params, img)[0])
+    s0_sh = np.asarray(det.hed_side_maps(params, img_sh)[0])
+    inner = s0[0, 8:48, 8:48, 0]
+    inner_sh = s0_sh[0, 16:56, 8:48, 0]
+    assert np.allclose(inner, inner_sh, atol=1e-4)
+    assert float(np.abs(inner).max()) > 0
 
 
 def test_hed_detector_output_range_and_shape():
@@ -211,3 +222,12 @@ def test_normalbae_encoder_channel_progression():
     assert s2.shape == (1, 8, 8, 64)
     assert s4.shape == (1, 4, 4, 176)
     assert head.shape == (1, 2, 2, 2048)
+    # the full NNET forward produces unit normals with positive kappa
+    # (norm_normalize contract) and responds to the input
+    pred = det.normalbae_forward(params, x)[-1]
+    n = np.asarray(pred[..., :3], np.float32)
+    assert np.allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-3)
+    assert float(pred[..., 3].min()) > 1.0  # elu(kappa)+1.01 > 1
+    pred2 = det.normalbae_forward(
+        params, jnp.ones((1, 64, 64, 3)) * 0.7)[-1]
+    assert not np.allclose(np.asarray(pred), np.asarray(pred2))

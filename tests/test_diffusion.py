@@ -69,6 +69,32 @@ def test_controlnet_residuals_inject(tiny_unet):
     assert out.shape == (B, H, W, 4)
 
 
+def test_controlnet_batch1_cond_broadcast(tiny_unet):
+    """A batch-1 condition stack with batch-B latents produces EXACTLY the
+    residuals of the replicated stack: the image-resolution conditioning
+    stem (lowest-MFU convs of the denoise step) runs once and broadcasts at
+    latent res. guidance.noise_pred and bench.py rely on this."""
+    ucfg, unet, uparams = tiny_unet
+    ccfg = ControlNetConfig(unet=ucfg, conditioning_channels=22,
+                            conditioning_embedding_channels=(8, 16))
+    cnet = ControlNet(ccfg)
+    B, H, W = 3, 8, 8
+    sample = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 4))
+    t = jnp.asarray([3.0, 5.0, 9.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, 16, ucfg.cross_attention_dim))
+    cond1 = jax.random.uniform(jax.random.PRNGKey(3), (1, H * 2, W * 2, 22))
+    cond3 = jnp.concatenate([cond1] * B, axis=0)
+    # non-zero weights so the equality check is non-trivial
+    cparams = jax.tree_util.tree_map(
+        lambda x: x + 0.01, cnet.init(jax.random.PRNGKey(4), sample, t, ctx, cond3))
+    d3, m3 = cnet.apply(cparams, sample, t, ctx, cond3, 1.0)
+    d1, m1 = cnet.apply(cparams, sample, t, ctx, cond1, 1.0)
+    for a, b in zip(d3, d1):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert np.allclose(np.asarray(m3), np.asarray(m1), atol=1e-6)
+    assert float(jnp.abs(m3).max()) > 0
+
+
 def test_vae_roundtrip_shapes():
     cfg = VAEConfig.tiny()
     vae = AutoencoderKL(cfg)
@@ -81,6 +107,13 @@ def test_vae_roundtrip_shapes():
     assert y.shape == (1, 16, 16, 3)
     mean, logvar = vae.apply(params, x, method=vae.encode_moments)
     assert mean.shape == z.shape and logvar.shape == z.shape
+    # encode is the deterministic-mode path scaled by scaling_factor:
+    # z == mean * scaling_factor (diffusers AutoencoderKL contract)
+    assert np.allclose(np.asarray(z), np.asarray(mean) * cfg.scaling_factor,
+                       atol=1e-5)
+    # decode is sensitive to the latent (not a constant function)
+    y2 = vae.apply(params, z + 1.0, method=vae.decode)
+    assert not np.allclose(np.asarray(y), np.asarray(y2))
 
 
 def test_clip_text_shapes():
@@ -90,6 +123,14 @@ def test_clip_text_shapes():
     params = model.init(jax.random.PRNGKey(0), ids)
     out = model.apply(params, ids)
     assert out.shape == (2, cfg.max_length, cfg.hidden_size)
+    # causal masking: changing a LATER token must not change earlier
+    # positions' hidden states, while changing an earlier token changes later
+    ids2 = ids.at[:, -1].set(1)
+    out2 = model.apply(params, ids2)
+    assert np.allclose(np.asarray(out[:, 0]), np.asarray(out2[:, 0]), atol=1e-5)
+    ids3 = ids.at[:, 0].set(1)
+    out3 = model.apply(params, ids3)
+    assert not np.allclose(np.asarray(out[:, -1]), np.asarray(out3[:, -1]))
 
 
 def test_scheduler_matches_closed_form():

@@ -64,12 +64,27 @@ def test_hashgrid_2d():
     x = jax.random.uniform(jax.random.PRNGKey(1), (9, 2))
     out = hg.hashgrid_encode(table, x, cfg)
     assert out.shape == (9, 6)
+    # 2D corner exactness: dense level-0 index of corner (1,2) on the
+    # 4-res grid (stride 5 per axis) is 1 + 2*5 = 11
+    cfg1 = hg.HashGridConfig(n_input_dims=2, n_levels=1, n_features_per_level=2,
+                             log2_hashmap_size=12, base_resolution=4,
+                             per_level_scale=1.0)
+    t1 = hg.init_hashgrid(jax.random.PRNGKey(0), cfg1) * 1e4
+    got = hg.hashgrid_encode(t1, jnp.asarray([[0.25, 0.5]]), cfg1)
+    assert np.allclose(np.asarray(got[0]), np.asarray(t1[0, 11]), atol=1e-5)
 
 
 def test_frequency_encoding():
-    x = jnp.ones((5, 3))
+    x = jnp.ones((5, 3)) * 0.3
     out = hg.frequency_encode(x, 4)
     assert out.shape == (5, hg.frequency_encoding_dims(3, 4))
+    # closed form: [x] + (sin,cos) pairs of 2^k * x per dim; the full set of
+    # values per row must equal {0.3} U {sin,cos}(2^k * 0.3) for k<4
+    vals = sorted(np.unique(np.round(np.asarray(out[0]), 6)))
+    expect = sorted(np.unique(np.round(np.concatenate(
+        [[0.3]] + [[np.sin((2.0 ** k) * 0.3), np.cos((2.0 ** k) * 0.3)]
+                   for k in range(4)]), 6)))
+    assert np.allclose(vals, expect, atol=1e-5)
 
 
 def test_mlp_shapes_and_grad():
@@ -106,3 +121,12 @@ def test_geometry_component():
     pts = jax.random.uniform(jax.random.PRNGKey(1), (11, 3), minval=-1, maxval=1)
     feats = geo.apply(params, pts)
     assert feats.shape == (11, 5)
+    # deterministic in params+points, and actually a function of position
+    feats2 = geo.apply(params, pts)
+    assert np.array_equal(np.asarray(feats), np.asarray(feats2))
+    feats3 = geo.apply(params, pts + 0.05)
+    assert not np.allclose(np.asarray(feats), np.asarray(feats3))
+    # grads flow into the hashgrid table through the component API
+    g = jax.grad(lambda p: jnp.sum(geo.apply(p, pts) ** 2))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0

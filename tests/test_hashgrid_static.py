@@ -70,7 +70,7 @@ def test_shade_view_static_maps_match():
 
     geo = dreammat_tpu.find("dreammat-mesh")(
         {
-            "shape_init": "procedural:unused",
+            "shape_init": None,  # set_mesh below provides the surface
             "pos_encoding_config": {
                 "otype": "HashGrid", "n_levels": 4, "n_features_per_level": 2,
                 "log2_hashmap_size": 10, "base_resolution": 4, "per_level_scale": 1.7,

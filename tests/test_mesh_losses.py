@@ -11,6 +11,19 @@ def test_edge_adjacency_counts():
     # closed box: E = F*3/2 = 18, every edge shared by 2 faces
     assert edges.shape == (18, 2)
     assert pairs.shape == (18, 2)
+    f = np.asarray(m.t_pos_idx)
+    # value check: vertex indices in range, each unordered edge unique, and
+    # every (face,face) pair genuinely adjacent (shares exactly one edge —
+    # rows of `edges` and `pairs` are independently ordered by design)
+    assert edges.min() >= 0 and edges.max() < int(m.v_pos.shape[0])
+    assert len({tuple(sorted(e)) for e in edges.tolist()}) == 18
+    for f0, f1 in pairs:
+        assert f0 != f1
+        assert len(set(f[f0]) & set(f[f1])) == 2, (f[f0], f[f1])
+    # and every edge of the closed box is an edge of some face
+    face_edges = {tuple(sorted((f[fi, k], f[fi, (k + 1) % 3])))
+                  for fi in range(len(f)) for k in range(3)}
+    assert {tuple(sorted(e)) for e in edges.tolist()} == face_edges
 
 
 def test_laplacian_zero_for_degenerate_and_positive_for_sphere():

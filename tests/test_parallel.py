@@ -16,6 +16,11 @@ def mesh8():
 
 def test_mesh_axes(mesh8):
     assert dict(mesh8.shape) == {"data": 4, "model": 2}
+    # the mesh covers 8 DISTINCT devices in (data, model) major order
+    devs = np.asarray(mesh8.devices)
+    assert devs.shape == (4, 2)
+    assert len({d.id for d in devs.reshape(-1)}) == 8
+    assert tuple(mesh8.axis_names) == ("data", "model")
 
 
 def test_batch_sharding_roundtrip(mesh8):

@@ -82,6 +82,14 @@ def test_dummy_prompt_processor():
     pp = dreammat_tpu.find("dummy-prompt-processor")({})
     pu = pp()
     assert pu.text.shape[-1] == 64  # tiny CLIP width
+    # stable across calls (fixed seed) with view-dependent rows that differ
+    # (so direction selection in guidances is exercised, not degenerate)
+    pu2 = pp()
+    import numpy as np
+
+    assert np.array_equal(np.asarray(pu.text), np.asarray(pu2.text))
+    vd = np.asarray(pu.text_vd)
+    assert vd.shape[0] >= 2 and not np.allclose(vd[0], vd[1])
 
 
 def test_triple_guidance_canny_and_grad():

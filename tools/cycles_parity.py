@@ -119,9 +119,20 @@ def our_stack(ren, mat, cam, n_envs, res, cond_res):
     return data, stacks, raw
 
 
-def mc_reference_stack(ren, mat, cam, n_envs, res, cond_res, tmp_dir):
+def mc_reference_stack(ren, mat, cam, n_envs, res, cond_res, tmp_dir,
+                       checkpoint_dir=None, view_ids=None):
     """Exact-MC probe stack with per-ray BVH visibility, roundtripped
-    through the reference PNG cache layout."""
+    through the reference PNG cache layout.
+
+    ``checkpoint_dir``: persist each completed view as an npz and skip it on
+    rerun — an exact-MC view at 512^2 costs ~5 min of device time and the
+    remote-TPU tunnel can drop mid-run, so the ground truth must be
+    resumable (one lost pipe previously discarded a full multi-view pass).
+
+    ``view_ids``: global camera indices of the views in ``cam`` (used when
+    the caller sliced a larger canonical rig via --limit-views) so
+    checkpoint files are keyed by the CANONICAL index and stay valid as
+    the measured subset grows toward the full rig."""
     import jax
     import jax.numpy as jnp
 
@@ -138,7 +149,20 @@ def mc_reference_stack(ren, mat, cam, n_envs, res, cond_res, tmp_dir):
     raw_depth = np.zeros((Nv, res, res), np.float32)
     normals = np.zeros((Nv, res, res, 3), np.float32)
     t_start = time.time()
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+    if view_ids is None:
+        view_ids = list(range(Nv))
     for i in range(Nv):
+        gi = int(view_ids[i])
+        ck = (os.path.join(checkpoint_dir, f"mc_view_{gi:03d}_e{n_envs}_r{res}.npz")
+              if checkpoint_dir else None)
+        if ck and os.path.exists(ck):
+            z = np.load(ck)
+            lightmaps[i], raw_depth[i], normals[i] = z["lm"], z["d"], z["n"]
+            print(f"[cycles_parity] exact-MC view {i}/{Nv}: checkpoint hit",
+                  flush=True)
+            continue
         print(f"[cycles_parity] exact-MC view {i}/{Nv} "
               f"(elapsed {time.time() - t_start:.0f}s)", flush=True)
         cd = camera_rays_and_matrices(cam, i, res, res)
@@ -156,6 +180,10 @@ def mc_reference_stack(ren, mat, cam, n_envs, res, cond_res, tmp_dir):
         valid = np.asarray(gb.fg_valid)
         img[np.asarray(gb.fg_idx)[valid]] = t[valid]
         raw_depth[i] = img.reshape(res, res)
+        if ck:
+            np.savez_compressed(ck + ".tmp.npz", lm=lightmaps[i], d=raw_depth[i],
+                                n=normals[i])
+            os.replace(ck + ".tmp.npz", ck)
 
     pre.write_reference_png_cache(tmp_dir, lightmaps, raw_depth, normals)
     lm, d, n = pre.load_reference_png_cache(tmp_dir, Nv, n_envs, cond_res, cond_res)
@@ -275,13 +303,49 @@ def main():
     ap.add_argument("--mc-samples", type=int, default=256)
     ap.add_argument("--environment-scale", type=float, nargs="+", default=[2.0])
     ap.add_argument("--model", default=None, help="dir with controlnet/ weights")
+    ap.add_argument("--checkpoint", default=None,
+                    help="dir for per-view exact-MC checkpoints (resume after "
+                    "a dropped TPU tunnel) + the fast-path stack cache")
+    ap.add_argument("--out-json", default=None,
+                    help="also append each result row to this JSONL file")
+    ap.add_argument("--limit-views", type=int, default=None,
+                    help="measure only an evenly-strided subset of this many "
+                    "views from the canonical --views rig (cameras and "
+                    "checkpoints keep their canonical indices, so partial "
+                    "full-scale runs stay resumable and comparable)")
     args = ap.parse_args()
 
     for env_scale in args.environment_scale:
         geo, mat, ren, cam = build_rig(
             args.mesh, args.views, args.envs, args.res, env_scale, args.mc_samples
         )
-        data, ours, raw = our_stack(ren, mat, cam, args.envs, args.res, args.cond_res)
+        view_ids = list(range(args.views))
+        kv = args.views
+        if args.limit_views and args.limit_views < args.views:
+            kv = args.limit_views
+            sel = np.unique(np.round(
+                np.linspace(0, args.views - 1, kv)).astype(int))
+            view_ids = [int(s) for s in sel]
+            from dreammat_tpu.data.cameras import CameraSet
+
+            cam = CameraSet(
+                cam.elevation_deg[sel], cam.azimuth_deg[sel],
+                cam.camera_distances[sel], cam.fovy_deg[sel],
+            )
+        ours_ck = (os.path.join(
+            args.checkpoint,
+            f"ours_v{args.views}k{kv}_e{args.envs}_r{args.res}_s{env_scale}.npz")
+            if args.checkpoint else None)
+        if ours_ck and os.path.exists(ours_ck):
+            ours = np.load(ours_ck)["stacks"]
+            print("[cycles_parity] fast-path stack: checkpoint hit", flush=True)
+        else:
+            data, ours, raw = our_stack(
+                ren, mat, cam, args.envs, args.res, args.cond_res)
+            if ours_ck:
+                os.makedirs(args.checkpoint, exist_ok=True)
+                np.savez_compressed(ours_ck + ".tmp.npz", stacks=ours)
+                os.replace(ours_ck + ".tmp.npz", ours_ck)
         if args.reference_cache:
             from dreammat_tpu.data import prerender as pre
 
@@ -305,17 +369,25 @@ def main():
 
             with tempfile.TemporaryDirectory() as td:
                 ref = mc_reference_stack(
-                    ren, mat, cam, args.envs, args.res, args.cond_res, td
+                    ren, mat, cam, args.envs, args.res, args.cond_res, td,
+                    checkpoint_dir=args.checkpoint, view_ids=view_ids,
                 )
             src = "exact-mc-roundtrip"
 
         table = residual_table(ours, ref)
         cn = controlnet_delta(ours, ref, args.model)
-        print(json.dumps({
+        row = {
             "mesh": os.path.basename(args.mesh), "reference": src,
+            "views": args.views, "measured_views": len(view_ids),
+            "envs": args.envs, "res": args.res,
+            "mc_samples": args.mc_samples,
             "environment_scale": env_scale, "residuals": table,
             "controlnet_delta": cn,
-        }), flush=True)
+        }
+        print(json.dumps(row), flush=True)
+        if args.out_json:
+            with open(args.out_json, "a") as fh:
+                fh.write(json.dumps(row) + "\n")
 
         print(f"\n# {os.path.basename(args.mesh)} vs {src} (env_scale={env_scale})")
         print("| channel group | MAE | RMSE |")

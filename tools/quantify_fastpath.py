@@ -97,7 +97,7 @@ MR_COMBOS = [(0.0, 0.3), (0.9, 0.5), (0.5, 0.1), (0.0, 0.9)]
 
 
 def run(mesh_name, mesh_or_path, oct_resolutions, n_envs, res, mc_samples, seed=0,
-        grad_pixels=16384, supersample=1):
+        grad_pixels=16384, supersample=1, subdiv=0):
     import jax
     import jax.numpy as jnp
 
@@ -123,6 +123,13 @@ def run(mesh_name, mesh_or_path, oct_resolutions, n_envs, res, mc_samples, seed=
             dict(geo_cfg, shape_init="procedural:sphere")
         )
         geo.set_mesh(mesh_or_path)
+    if subdiv:
+        # same surface, 4^subdiv denser visibility sampling: the exact-MC
+        # ground truth is invariant; only the baked tables gain density
+        # (renderer config visibility_subdiv applies this in production)
+        from dreammat_tpu.models.mesh import subdivide_mesh
+
+        geo.set_mesh(subdivide_mesh(geo.isosurface(), subdiv))
 
     mat_cfg = {
         "environment_texture": "load/lights/envmap",
@@ -255,7 +262,7 @@ def run(mesh_name, mesh_or_path, oct_resolutions, n_envs, res, mc_samples, seed=
 
                 row = {
                     "mesh": mesh_name, "env": env_id, "view": vi,
-                    "oct_res": oct_res,
+                    "oct_res": oct_res, "subdiv": subdiv,
                     "rmse_mean": float(np.mean(list(rmses.values()))),
                     "rmse_max": float(np.max(list(rmses.values()))),
                     "grad_cos": cos,
@@ -282,7 +289,21 @@ def main():
     ap.add_argument("--supersample", type=int, default=1,
                     help="jittered rays per oct bin axis in the visibility "
                     "bake (fractional bins; see ops/visibility.py)")
+    ap.add_argument("--subdiv", type=int, default=0,
+                    help="midpoint-subdivision levels before baking "
+                    "(renderer visibility_subdiv; 4^n denser tables on the "
+                    "same surface)")
+    ap.add_argument("--platform", default=None, choices=["cpu", "axon", "tpu"],
+                    help="force a jax backend (the image pins "
+                    "JAX_PLATFORMS=axon via sitecustomize, so the env var "
+                    "alone cannot select cpu; this goes through jax.config "
+                    "before backend init)")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from dreammat_tpu.models.mesh import make_icosphere
 
@@ -305,7 +326,7 @@ def main():
         m = catalog[name]()
         all_rows += run(name, m, args.oct, args.envs, args.res, args.mc_samples,
                         grad_pixels=args.grad_pixels,
-                        supersample=args.supersample)
+                        supersample=args.supersample, subdiv=args.subdiv)
 
     # markdown summary: per (mesh, oct_res) averaged over envs/views
     print("\n| mesh | oct_res | RMSE mean | RMSE max | grad cos | grad cos floor |")
