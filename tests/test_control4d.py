@@ -149,5 +149,20 @@ def test_control4d_system_trains(scene, tmp_path):
         {"geo": state["geo"], "gan": state["gan"]}
     )
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    from conftest import assert_state_moved
+
+    def prep_gan(sys0, state0):
+        # Reproduce fit(seed=0)'s key chain up to step 0's _ensure_gan call
+        # (fit: k_init,k_guidance,rng = split(PRNGKey(seed),3); per-step
+        # rng,k = split(rng); _apply_train_step: k_gan = split(k,3)[0]) so
+        # the lazily-created GAN params match the trained run's init.
+        rng = jax.random.PRNGKey(0)
+        _, _, rng = jax.random.split(rng, 3)
+        _, k = jax.random.split(rng)
+        k_gan, _, _ = jax.random.split(k, 3)
+        return sys0._ensure_gan(state0, dm.collate(step=0), k_gan)
+
+    assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,
+                       keys=["geo", "gan"], prep_state0=prep_gan)
     p = system.validation(state, dm, cfg.trial_dir, 2)
     assert os.path.exists(p)

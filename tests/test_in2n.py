@@ -163,3 +163,7 @@ def test_in2n_system_trains(scene, tmp_path):
     assert len(system.edit_frames) >= 1
     leaves = jax.tree_util.tree_leaves(state["geo"])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    from conftest import assert_state_moved
+
+    assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,
+                       keys=["geo"])

@@ -125,6 +125,10 @@ def test_sjc_system_trains(tmp_path):
     assert system.guidance.cfg.use_sjc  # estimator forced on
     leaves = jax.tree_util.tree_leaves({"geo": state["geo"], "bg": state["bg"]})
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    from conftest import assert_state_moved
+
+    assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,
+                       keys=["geo"])
     # eval decodes the latent image to 3 channels
     p = system.validation(state, dm, cfg.trial_dir, 2)
     assert os.path.exists(p)

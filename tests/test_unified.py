@@ -155,3 +155,10 @@ def test_triple_guidance_hed_control():
     args = (jnp.zeros((1,)), jnp.zeros((1,)), jnp.full((1,), 1.5))
     out = g(g.params, rgb, pu, *args, cond, step=0, rng=jax.random.PRNGKey(3))
     assert np.isfinite(float(out["loss_sds"]))
+    # the HED-conditioned branch must contribute signal, not just not-NaN
+    grad = jax.grad(
+        lambda x: g(g.params, x, pu, *args, cond, step=0,
+                    rng=jax.random.PRNGKey(3))["loss_sds"]
+    )(rgb)
+    assert float(jnp.abs(grad).max()) > 0
+

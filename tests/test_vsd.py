@@ -177,6 +177,10 @@ def test_prolificdreamer_trains(tmp_path):
     # the lora up-factors moved off zero (its optimizer ran)
     ups = [float(jnp.abs(v["up"]).max()) for v in state["lora"]["layers"].values()]
     assert max(ups) > 0.0
+    from conftest import assert_state_moved
+
+    assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,
+                       keys=["geo"])
 
 
 _DMTET_STAGE_ARGS = [
@@ -250,3 +254,7 @@ def test_prolificdreamer_texture_stage_trains(tmp_path):
         {"geo": state["geo"], "bg": state["bg"], "lora": state["lora"]}
     )
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    from conftest import assert_state_moved
+
+    assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,
+                       keys=["geo"])
