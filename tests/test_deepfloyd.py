@@ -19,6 +19,11 @@ def test_t5_encoder_shapes_and_bias():
     out = model.apply(params, ids)
     assert out.shape == (2, cfg.max_length, cfg.d_model)
     assert np.isfinite(np.asarray(out)).all()
+    # the encoding depends on the token ids (an encoder that ignores its
+    # input — e.g. a broken embedding gather — would pass shape checks)
+    ids2 = (ids + 1) % cfg.vocab_size
+    out2 = model.apply(params, ids2)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
     # relative position bias is shared (exactly one bias table param)
     flat = jax.tree_util.tree_leaves_with_path(params)
     bias = [p for p, _ in flat if "relative_attention_bias" in jax.tree_util.keystr(p)]
@@ -145,6 +150,10 @@ def test_dreamfusion_with_deepfloyd_guidance(tmp_path):
     assert int(state["step"]) == 2
     leaves = jax.tree_util.tree_leaves(state["geo"])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    from conftest import assert_state_moved
+
+    assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,
+                       keys=["geo"])
 
 
 def test_clip_vision_key_mapping_roundtrip():

@@ -248,6 +248,10 @@ def test_dreamfusion_trains(df_run):
     assert int(state["step"]) == 2
     leaves = jax.tree_util.tree_leaves({"geo": state["geo"], "bg": state["bg"]})
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    from conftest import assert_state_moved
+
+    assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,
+                       keys=["geo"])
 
 
 def test_dreamfusion_eval_and_export(df_run):

@@ -201,6 +201,10 @@ def test_zero123_system_trains(cond_png, tmp_path):
     assert int(state["step"]) == 2
     leaves = jax.tree_util.tree_leaves({"geo": state["geo"], "bg": state["bg"]})
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    from conftest import assert_state_moved
+
+    assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,
+                       keys=["geo"])
     p = system.validation(state, dm, cfg.trial_dir, 2)
     assert os.path.exists(p)
 
@@ -226,6 +230,10 @@ def test_zero123_simple_system_trains(cond_png, tmp_path):
         val_check_interval=0, checkpoint_every=0, log_every=1,
     )
     assert int(state["step"]) == 2
+    from conftest import assert_state_moved
+
+    assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,
+                       keys=["geo"])
 
 
 def test_magic123_system_trains(cond_png, tmp_path):
@@ -255,6 +263,10 @@ def test_magic123_system_trains(cond_png, tmp_path):
     assert system.guidance_3d is not None
     leaves = jax.tree_util.tree_leaves(state["geo"])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    from conftest import assert_state_moved
+
+    assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,
+                       keys=["geo"])
 
 
 def test_magic123_refinement_trains(cond_png, tmp_path):
