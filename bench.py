@@ -10,6 +10,11 @@ RTX 4090 (~0.6 steps/s implied, BASELINE.md "implied wall-clock"); the
 renderer side is excluded here on both sides (theirs overlaps shading).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+`--train-step` switches to the FULL-pipeline train-step benchmark
+(render + denoise + backward + Adam at flagship scale) by delegating to
+bench_train.py — renderer-side wins show up there; the default mode stays
+the denoise-only north star so round-over-round BENCH files compare.
 """
 
 import json
@@ -21,6 +26,11 @@ BASELINE_STEPS_PER_SEC = 0.6  # implied 4090 reference throughput (see above)
 
 
 def main():
+    if "--train-step" in sys.argv:
+        sys.argv = [sys.argv[0]] + [a for a in sys.argv[1:] if a != "--train-step"]
+        import bench_train
+        bench_train.main()
+        return
     small = "--small" in sys.argv or os.environ.get("BENCH_SMALL") == "1"
     import jax
     import jax.numpy as jnp
@@ -50,15 +60,26 @@ def main():
     lat = H // f
 
     # weights: zeros via eval_shape (timing is data-independent on the MXU;
-    # avoids minutes of host-side RNG for ~1.2B params)
+    # avoids minutes of host-side RNG for ~1.2B params). Float leaves are
+    # stored bf16 at full scale, matching half_precision_weights=True on the
+    # flagship path (guidance.init_params casts the same way): f32 storage
+    # would double the per-step HBM weight traffic being measured.
     sample = jnp.zeros((3, lat, lat, 4))
     t = jnp.zeros((3,))
     ctx = jnp.zeros((3, ctx_len, ctx_dim))
     cond = jnp.zeros((3, H, H, 22))
     rgb = jnp.zeros((1, H, H, 3))
 
+    wdtype = jnp.float32 if small else jnp.bfloat16
+
     def zeros_like_tree(shapes):
-        return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(
+                s.shape,
+                wdtype if jnp.issubdtype(s.dtype, jnp.floating) else s.dtype,
+            ),
+            shapes,
+        )
 
     up = zeros_like_tree(jax.eval_shape(lambda: unet.init(jax.random.PRNGKey(0), sample, t, ctx)))
     vp = zeros_like_tree(jax.eval_shape(lambda: vae.init(jax.random.PRNGKey(0), rgb)))
@@ -102,10 +123,16 @@ def main():
         return time.perf_counter() - t0
 
     # slope method: T(n2)-T(n1) cancels the fixed dispatch+pull overhead,
-    # leaving true per-step device time
+    # leaving true per-step device time. The remote-TPU tunnel injects rare
+    # ~0.9 s stalls into individual timings (observed bimodal t(5): 0.27 s vs
+    # 1.1 s); a single (t1, t2) pair that catches a stall on one side skews
+    # the slope by up to 5x in either direction, so each point is the MIN of
+    # several repetitions (a stall only ever adds time) before the slope.
     n1, n2 = (1, 4) if small else (5, 25)
+    reps = 2 if small else 4
     run(1)
-    t1, t2 = run(n1), run(n2)
+    t1 = min(run(n1) for _ in range(reps))
+    t2 = min(run(n2) for _ in range(reps))
     steps_per_sec = (n2 - n1) / max(t2 - t1, 1e-9)
 
     print(json.dumps({

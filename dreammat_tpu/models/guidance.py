@@ -161,6 +161,8 @@ class StableDiffusionLightGuidance(BaseObject):
                     sd, params["controlnets"][0], "controlnet", strict=False
                 )
                 dreammat_tpu.info("loaded controlnet weights from %s", ckpt)
+        if cfg.half_precision_weights:
+            params = convert.cast_float_leaves(params, jnp.bfloat16)
         self.params = params
         return params
 

@@ -111,6 +111,8 @@ class DeepFloydGuidance(BaseObject):
                     sd, params["unet"], "unet", strict=False
                 )
                 dreammat_tpu.info("loaded IF unet weights from %s", ckpt)
+        if cfg.half_precision_weights:
+            params = convert.cast_float_leaves(params, jnp.bfloat16)
         self.params = params
         return params
 

@@ -125,6 +125,8 @@ class InstructPix2PixGuidance(BaseObject):
                         sd, params[sub], sub, strict=False
                     )
                     dreammat_tpu.info("loaded ip2p %s weights from %s", sub, ckpt)
+        if cfg.half_precision_weights:
+            params = convert.cast_float_leaves(params, jnp.bfloat16)
         self.params = params
         return params
 

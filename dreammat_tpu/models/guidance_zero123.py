@@ -172,6 +172,9 @@ class Zero123Guidance(BaseObject):
                     )
                     dreammat_tpu.info("loaded zero123 %s from %s", key, ckpt)
 
+        if cfg.half_precision_weights:
+            params = convert.cast_float_leaves(params, jnp.bfloat16)
+
         if cond_rgb is None:
             if cfg.cond_image_path and os.path.exists(cfg.cond_image_path):
                 cond_rgb = load_rgba_composited(cfg.cond_image_path, S)
