@@ -126,7 +126,9 @@ def test_co3d_datamodule(tmp_path):
     assert b["rays_o"].shape == (24 * 24, 3)
     assert b["rgb"].shape == (24, 24, 3)
     assert b["mask"].shape == (24, 24, 1)
-    assert np.isfinite(np.asarray(b["rays_d"])).all()
+    # ray directions are unit vectors (stronger than finite)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(b["rays_d"]), axis=-1), 1.0, atol=1e-4)
     # cameras normalized to ~unit radius and rays aim at the object
     o = np.asarray(b["rays_o"])[0]
     assert 0.3 < np.linalg.norm(o) < 3.0

@@ -79,8 +79,9 @@ def test_gan_renderer_levels_and_grads(gan_setup):
         assert out["comp_gan_rgb"].shape == (H * W, 3)
         assert out["comp_rgb"].shape == (H * W, 3)
         assert out["comp_int_rgb"].shape[0] == out["comp_gt_rgb"].shape[0]
-        assert np.isfinite(np.asarray(out["comp_gan_rgb"])).all()
-        assert np.isfinite(float(out["kl"]))
+        # bounded outputs (subsumes finite: NaN fails the bound)
+        assert float(np.abs(np.asarray(out["comp_gan_rgb"])).max()) < 1e4
+        assert 0.0 <= float(out["kl"]) < 1e6  # KL is non-negative
 
     # generator grads flow into generator AND the NeRF (through lr_rgb)
     def loss(gp, geo_p):
@@ -108,7 +109,11 @@ def test_gan_renderer_levels_and_grads(gan_setup):
     g = ganlib.generator_loss(
         rend.disc_apply, gan_params["discriminator"], fake
     )
-    assert np.isfinite(float(d)) and np.isfinite(float(g))
+    # hinge disc loss is non-negative by construction; generator loss is
+    # -mean(disc(fake)): bounded and nonzero at random init. Bounds
+    # subsume finiteness (NaN fails every comparison).
+    assert 0.0 <= float(d) < 1e4
+    assert 0.0 < abs(float(g)) < 1e4
 
 
 def test_control4d_system_trains(scene, tmp_path):
@@ -148,7 +153,8 @@ def test_control4d_system_trains(scene, tmp_path):
     leaves = jax.tree_util.tree_leaves(
         {"geo": state["geo"], "gan": state["gan"]}
     )
-    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # trained leaves bounded (subsumes finite: NaN fails the comparison)
+    assert all(float(np.abs(np.asarray(l)).max()) < 1e6 for l in leaves)
     from conftest import assert_state_moved
 
     def prep_gan(sys0, state0):

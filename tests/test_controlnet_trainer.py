@@ -60,7 +60,8 @@ def test_train_loop_reduces_loss(trainer, tmp_path):
     out = trainer.fit(ds, str(tmp_path), max_steps=4, log_every=1)
     assert out["step"] == 4
     for leaf in jax.tree_util.tree_leaves(out["controlnet"]):
-        assert np.isfinite(np.asarray(leaf)).all()
+        # trained weights bounded (subsumes finite: NaN fails the bound)
+        assert float(np.abs(np.asarray(leaf)).max()) < 1e6
     # diffusers export exists
     assert os.path.exists(tmp_path / "controlnet" / "diffusion_pytorch_model.safetensors")
 
@@ -82,7 +83,7 @@ def test_train_step_multidevice(trainer):
     cnet, opt2, metrics = step_fn(
         params["controlnet"], opt_state, params["frozen"], batch, jax.random.PRNGKey(1)
     )
-    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["loss"]) < 1e6  # eps-MSE, bounded
     # the dp step actually trains: params moved, and the sharded step's
     # loss matches the single-device step on the identical batch (psum'd
     # grads over replicated data == unsharded math)

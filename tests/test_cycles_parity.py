@@ -92,8 +92,8 @@ def test_parity_residuals_and_controlnet_delta(rig, tmp_path):
         assert table[g]["rmse"] < 0.12, (g, table[g])
 
     cn = cp.controlnet_delta(ours, ref)
-    assert np.isfinite(cn["rel_l2_mean"])
-    assert cn["rel_l2_mean"] < 0.5, cn
+    # relative L2 is non-negative by construction; small on a smooth mesh
+    assert 0.0 <= cn["rel_l2_mean"] < 0.5, cn
 
 
 def test_exact_probe_renderer_matches_mc_on_sphere(rig):

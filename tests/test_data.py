@@ -72,8 +72,12 @@ def test_prerender_shapes(dm):
     V = dm.renderer.mesh.v_pos.shape[0]
     assert d.table_spec.shape[:3] == (3, 2, V)
     assert d.table_diff.shape == (2, V, 3)
-    assert np.isfinite(np.asarray(d.lightmaps, dtype=np.float32)).all()
-    assert np.isfinite(np.asarray(d.table_spec, dtype=np.float32)).all()
+    # probe renders and prefiltered tables are non-negative radiance with
+    # a sane HDR bound (value contract, subsumes finiteness)
+    lm = np.asarray(d.lightmaps, dtype=np.float32)
+    ts = np.asarray(d.table_spec, dtype=np.float32)
+    assert lm.min() >= 0.0 and lm.max() < 1e4
+    assert ts.min() >= 0.0 and ts.max() < 1e4
     # condition-map value contracts (reference uncond.py:540-557 semantics):
     # inverse depth normalized to [0.3, 1] on hits, exactly 0 on background
     dep = np.asarray(d.depths, np.float32)
@@ -180,7 +184,10 @@ def test_random_mode_collate(dm_random):
     assert b["condition_map"].shape == (1, 24, 24, 22)
     assert b["gbuffer"].mask.shape == (24, 24)
     assert 0 <= int(b["env_id"]) < 2
-    assert np.isfinite(np.asarray(b["condition_map"])).all()
+    cmap = np.asarray(b["condition_map"])
+    # 22-ch condition stack: depth/normal/probes all live in [0,1] after
+    # the reference's normalization (uncond.py:540-557, lin2srgb probes)
+    assert cmap.min() >= 0.0 and cmap.max() <= 1.0 + 1e-3
     V = dm_random.renderer.mesh.v_pos.shape[0]
     assert b["light_table"].shape[0] == V
     # fixed pixel budget across steps => one jitted train-step shape

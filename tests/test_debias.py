@@ -84,7 +84,10 @@ def test_bert_torch_key_conversion():
         assert pa == pb
         assert a.shape == np.asarray(b).shape, (pa, a.shape, np.asarray(b).shape)
     out = model.apply(params, ids, mask)
-    assert np.isfinite(np.asarray(out)).all()
+    # logits bounded and input-dependent (different ids -> different logits)
+    assert float(np.abs(np.asarray(out)).max()) < 1e4
+    out2 = model.apply(params, (ids + 1) % int(ids.max() + 2), mask)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
 
 
 def _controlled_mlm(tokenizer, boost_map):

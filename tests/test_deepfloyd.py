@@ -18,7 +18,7 @@ def test_t5_encoder_shapes_and_bias():
     params = model.init(jax.random.PRNGKey(0), ids)
     out = model.apply(params, ids)
     assert out.shape == (2, cfg.max_length, cfg.d_model)
-    assert np.isfinite(np.asarray(out)).all()
+    assert float(np.abs(np.asarray(out)).max()) < 1e4  # bounded
     # the encoding depends on the token ids (an encoder that ignores its
     # input — e.g. a broken embedding gather — would pass shape checks)
     ids2 = (ids + 1) % cfg.vocab_size
@@ -103,13 +103,13 @@ def test_deepfloyd_guidance_grad(df_prompts):
     rgb = jax.random.uniform(jax.random.PRNGKey(1), (1, 24, 24, 3))
     args = (jnp.zeros((1,)), jnp.zeros((1,)), jnp.full((1,), 1.5))
     out = g(g.params, rgb, df_prompts, *args, step=0, rng=jax.random.PRNGKey(2))
-    assert np.isfinite(float(out["loss_sds"]))
+    assert 0.0 <= float(out["loss_sds"]) < 1e6  # bounded subsumes finite
     grad = jax.grad(
         lambda x: g(g.params, x, df_prompts, *args, step=0,
                     rng=jax.random.PRNGKey(2))["loss_sds"]
     )(rgb)
-    assert np.isfinite(np.asarray(grad)).all()
-    assert float(jnp.abs(grad).max()) > 0.0
+    gmax = float(jnp.abs(grad).max())
+    assert 0.0 < gmax < 1e4  # nonzero and bounded (subsumes finite)
     # no latent space: rgb_as_latents must raise
     with pytest.raises(ValueError):
         g(g.params, rgb, df_prompts, *args, step=0,
@@ -149,7 +149,8 @@ def test_dreamfusion_with_deepfloyd_guidance(tmp_path):
     )
     assert int(state["step"]) == 2
     leaves = jax.tree_util.tree_leaves(state["geo"])
-    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # trained leaves bounded (subsumes finite: NaN fails the comparison)
+    assert all(float(np.abs(np.asarray(l)).max()) < 1e6 for l in leaves)
     from conftest import assert_state_moved
 
     assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,

@@ -56,8 +56,8 @@ def test_marching_tets_gradients_flow():
         return jnp.sum(d * m) / jnp.maximum(jnp.sum(m), 1)
 
     g = jax.grad(mean_radius)(sdf)
-    assert np.isfinite(np.asarray(g)).all()
-    assert float(jnp.abs(g).max()) > 0
+    gmax = float(jnp.abs(g).max())
+    assert 0 < gmax < 1e6  # nonzero and bounded (subsumes finite)
     # growing the SDF (more inside) grows the surface radius: directional
     # derivative along +1 must be positive
     eps = 1e-3
@@ -82,7 +82,7 @@ def test_normal_consistency_smooth_vs_noisy():
             *dmtet.marching_tets_fixed(s, verts, tets, 2048)[:3]
         )
     )(sdf)
-    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) < 1e6  # bounded subsumes finite
 
 
 def test_device_vs_host_extractor_agree():

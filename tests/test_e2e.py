@@ -56,9 +56,10 @@ def test_training_updates_params(tiny_run):
     diff = float(abs(np.asarray(state["geo"]["table"]) - np.asarray(params0["table"])).sum())
     # training must actually move the hashgrid table (a no-op optimizer or a
     # zero SDS grad would leave diff == 0)
-    assert np.isfinite(diff) and diff > 0.0, diff
+    assert 0.0 < diff < 1e6, diff  # moved, bounded (subsumes finite)
     leaves = jax.tree_util.tree_leaves(state["geo"])
-    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # trained leaves bounded (subsumes finite: NaN fails the comparison)
+    assert all(float(np.abs(np.asarray(l)).max()) < 1e6 for l in leaves)
 
 
 def test_validation_and_test_render(tiny_run):
@@ -135,7 +136,7 @@ def test_hybrid_mc_training(tmp_path):
         np.asarray(l).ravel()
         for l in __import__("jax").tree_util.tree_leaves(state["geo"])
     ])
-    assert np.isfinite(leaves).all()
+    assert float(np.abs(leaves).max()) < 1e6  # bounded subsumes finite
 
 
 # SURVEY §4 fixed-seed regression: pins the eval render after the 2 fixed-seed

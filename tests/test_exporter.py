@@ -16,7 +16,7 @@ def test_smart_unwrap_properties():
     F = np.asarray(m.t_pos_idx).shape[0]
     assert v_tex.shape == (F * 3, 2)
     assert t_tex_idx.shape == (F, 3)
-    assert np.isfinite(v_tex).all()
+    # [0,1] UV range subsumes finiteness (NaN fails both comparisons)
     assert v_tex.min() >= 0.0 and v_tex.max() <= 1.0
 
 
@@ -130,7 +130,7 @@ def test_lscm_unwrap_no_flips_and_in_bounds():
     m = make_icosphere(3)
     v, f = np.asarray(m.v_pos), np.asarray(m.t_pos_idx)
     v_tex, t_tex_idx = exp_lib.smart_unwrap(v, f, method="lscm")
-    assert np.isfinite(v_tex).all()
+    # [0,1] UV range subsumes finiteness (NaN fails both comparisons)
     assert v_tex.min() >= 0.0 and v_tex.max() <= 1.0
     uv = v_tex[t_tex_idx]
     area2 = (uv[:, 1, 0] - uv[:, 0, 0]) * (uv[:, 2, 1] - uv[:, 0, 1]) - (

@@ -99,7 +99,8 @@ def test_rasterizer_gradients_reach_sdf(dmtet_setup):
     assert float(jnp.abs(g1["deformation"]).max()) > 0  # via vertex motion
     assert float(jnp.abs(g2["sdf"]).max()) > 0          # via SDF silhouette
     for g in (g1, g2):
-        assert all(np.isfinite(np.asarray(l)).all()
+        # all gradient leaves bounded (subsumes finite)
+        assert all(float(np.abs(np.asarray(l)).max()) < 1e6
                    for l in jax.tree_util.tree_leaves(g))
 
 
@@ -122,7 +123,8 @@ def test_fantasia3d_geometry_stage(tmp_path):
     )
     assert int(state["step"]) == 2
     leaves = jax.tree_util.tree_leaves(state["geo"])
-    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # trained leaves bounded (subsumes finite: NaN fails the comparison)
+    assert all(float(np.abs(np.asarray(l)).max()) < 1e6 for l in leaves)
     # sdf actually moved
     p0 = system.geometry.init(jax.random.PRNGKey(0))
     assert not np.allclose(np.asarray(state["geo"]["sdf"]), np.asarray(p0["sdf"]))

@@ -71,11 +71,15 @@ def test_guidance_loss_and_grad(tiny_guidance):
         return out["loss_sds"], out
 
     (loss, out), grad = jax.value_and_grad(loss_fn, has_aux=True)(rgb)
-    assert np.isfinite(float(loss))
-    assert np.isfinite(np.asarray(grad)).all()
-    # SDS gradient flows into the rendered image
-    assert float(jnp.abs(grad).sum()) > 0
-    assert np.isfinite(float(out["grad_norm"]))
+    # the loss depends on the rendered image (input dependence beats a
+    # bare finiteness smoke check)
+    loss_b, _ = loss_fn(jax.random.uniform(jax.random.PRNGKey(9), rgb.shape))
+    assert float(loss) != float(loss_b)
+    # SDS gradient flows into the rendered image and is bounded (the bound
+    # subsumes finiteness: NaN/inf fail the comparison)
+    gmax = float(jnp.abs(grad).max())
+    assert 0 < gmax < 1e4
+    assert float(out["grad_norm"]) > 0
 
 
 def test_guidance_step_window_anneal(tiny_guidance):
@@ -104,7 +108,8 @@ def test_guidance_perp_neg_path(tiny_guidance):
     pe = make_prompt_embeddings(use_perp_neg=True)
     out = g(params, rgb, pe, jnp.zeros((B,)), jnp.asarray([50.0]), jnp.ones((B,)),
             cond, step=jnp.int32(10), rng=jax.random.PRNGKey(2))
-    assert np.isfinite(float(out["loss_sds"]))
+    # bounded non-negative loss (subsumes finiteness; NaN fails both sides)
+    assert 0.0 <= float(out["loss_sds"]) < 1e6
     # the perp-neg branch is actually taken: same inputs/rng through the
     # non-perp-neg embeddings give a different loss (5-eps vs 3-eps assembly)
     pe_plain = make_prompt_embeddings(use_perp_neg=False)
@@ -133,7 +138,10 @@ def test_guidance_jit_compiles(tiny_guidance):
     cond = jnp.zeros((B, H, H, 22))
     a = f(rgb, cond, jnp.int32(1), jax.random.PRNGKey(0))
     b = f(rgb, cond, jnp.int32(2), jax.random.PRNGKey(1))
-    assert np.isfinite(float(a)) and np.isfinite(float(b))
+    # bounded losses that differ across (step, rng) draws — the jit must
+    # not have constant-folded the step/rng inputs away
+    assert 0.0 <= float(a) < 1e6 and 0.0 <= float(b) < 1e6
+    assert float(a) != float(b)
     # deterministic under jit: same (step, rng) reproduces the exact loss,
     # and the jitted value matches the eager path
     a2 = f(rgb, cond, jnp.int32(1), jax.random.PRNGKey(0))
@@ -185,7 +193,7 @@ def test_guidance_rgb_as_latents(tiny_guidance):
         cond, step=jnp.int32(100), rng=jax.random.PRNGKey(3),
         rgb_as_latents=True,
     )
-    assert np.isfinite(float(out["loss_sds"]))
+    assert 0.0 <= float(out["loss_sds"]) < 1e6  # bounded subsumes finite
     # gradient reaches the latent input (the VAE encoder is bypassed, so
     # this is the direct SDS residual path) and has the latent's shape
     grad = jax.grad(lambda z: g(

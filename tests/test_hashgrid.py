@@ -54,8 +54,8 @@ def test_hashgrid_grad_flows():
         return jnp.sum(hg.hashgrid_encode(t, x, cfg) ** 2)
 
     g = jax.grad(loss)(table)
-    assert np.isfinite(np.asarray(g)).all()
-    assert float(jnp.abs(g).sum()) > 0
+    gmax = float(jnp.abs(g).max())
+    assert 0 < gmax < 1e6  # nonzero and bounded (subsumes finite)
 
 
 def test_hashgrid_2d():

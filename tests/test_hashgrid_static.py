@@ -106,5 +106,5 @@ def test_shade_view_static_maps_match():
         return jnp.mean(o["comp_rgb"]) + o["loss_mat_reg"]
 
     g = jax.grad(loss)(params, maps)
-    assert np.isfinite(np.asarray(g["table"])).all()
-    assert float(jnp.abs(g["table"]).max()) > 0
+    gmax = float(jnp.abs(g["table"]).max())
+    assert 0 < gmax < 1e6  # nonzero and bounded (subsumes finite)

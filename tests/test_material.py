@@ -55,7 +55,7 @@ def test_fg_lut_range():
     lut = envmap_lib.compute_fg_lut(res=32, n_samples=64)
     arr = np.asarray(lut)
     assert arr.shape == (32, 32, 2)
-    assert np.isfinite(arr).all()
+    # value range subsumes finiteness (NaN fails both comparisons)
     assert (arr >= -1e-4).all() and (arr <= 1.5).all()
     # smooth surface, grazing->normal: scale term A grows with NoV
     assert arr[-1, 0, 0] > arr[0, 0, 0]
@@ -93,7 +93,8 @@ def test_shading_finite_and_shapes():
         jnp.int32(1), jax.random.PRNGKey(4), is_train=True,
     )
     for k, v in outputs.items():
-        assert np.isfinite(np.asarray(v)).all(), k
+        # bounded render channels (subsumes finite: NaN fails the bound)
+        assert float(np.abs(np.asarray(v)).max()) < 1e4, k
     assert outputs["color"].shape == (P, 3)
     assert outputs["roughness"].shape == (P, 1)
     assert float(reg) >= 0
@@ -135,8 +136,8 @@ def test_material_grad_flows_to_features():
         return jnp.sum(out["color"])
 
     g = jax.grad(loss)(jnp.zeros((P, 5)))
-    assert np.isfinite(np.asarray(g)).all()
-    assert float(jnp.abs(g).sum()) > 0
+    gmax = float(jnp.abs(g).max())
+    assert 0.0 < gmax < 1e4  # nonzero and bounded (subsumes finite)
 
 
 def test_splitsum_path():
@@ -149,7 +150,7 @@ def test_splitsum_path():
         jnp.int32(0), jax.random.PRNGKey(2), is_train=False,
     )
     assert out["color"].shape == (P, 3)
-    assert np.isfinite(np.asarray(out["color"])).all()
+    # [0,1] range subsumes finiteness (NaN fails both comparisons)
     assert (np.asarray(out["color"]) >= 0).all() and (np.asarray(out["color"]) <= 1).all()
 
 

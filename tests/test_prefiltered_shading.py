@@ -111,7 +111,7 @@ def test_prefiltered_grads_flow(rig):
 
     g = jax.grad(loss)(jnp.zeros((P, 5)))
     arr = np.asarray(g)
-    assert np.isfinite(arr).all()
+    assert np.abs(arr).max() < 1e4  # bounded subsumes finite
     # gradient reaches albedo, metallic AND roughness channels
     assert np.abs(arr[:, :3]).sum() > 0
     assert np.abs(arr[:, 3]).sum() > 0
@@ -122,4 +122,6 @@ def test_shade_view_uses_table(rig):
     geo, mat, ren, gb, table = rig
     params = geo.init(jax.random.PRNGKey(0))
     out = ren.shade_view(params, gb, jnp.int32(0), jax.random.PRNGKey(1), light_table=table)
-    assert np.isfinite(np.asarray(out["comp_rgb"])).all()
+    rgb = np.asarray(out["comp_rgb"])
+    # lin2srgb colors over a solid background: non-negative and bounded
+    assert rgb.min() >= 0.0 and rgb.max() < 1e4

@@ -84,7 +84,8 @@ def test_shade_view_outputs(rig):
     out = ren.shade_view(params, gb, jnp.int32(0), jax.random.PRNGKey(1))
     assert out["comp_rgb"].shape == (H, W, 3)
     for k, v in out.items():
-        assert np.isfinite(np.asarray(v)).all(), k
+        # bounded buffers (subsumes finite: NaN fails the comparison)
+        assert float(np.abs(np.asarray(v)).max()) < 1e4, k
     # background is white — except the 1-px antialias ring around the
     # silhouette (renderer._edge_blend), so test pixels with no foreground
     # anywhere in their 3x3 neighborhood
@@ -110,7 +111,7 @@ def test_shade_view_grad(rig):
     total = float(jnp.abs(g["table"]).sum()) + sum(
         float(jnp.abs(w).sum()) for w in g["mlp"]["w"]
     )
-    assert np.isfinite(total) and total > 0
+    assert 0 < total < 1e6  # nonzero and bounded (subsumes finite)
 
 
 def test_shade_view_jits(rig):

@@ -114,7 +114,8 @@ def test_textmesh_trains(tmp_path):
     leaves = jax.tree_util.tree_leaves(
         {"geo": state["geo"], "bg": state["bg"], "var": state["var"]}
     )
-    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # trained leaves bounded (subsumes finite: NaN fails the comparison)
+    assert all(float(np.abs(np.asarray(l)).max()) < 1e6 for l in leaves)
     p = system.validation(state, dm, cfg.trial_dir, 2)
     assert os.path.exists(p)
     # sphere-biased SDF -> non-empty isosurface export

@@ -66,7 +66,10 @@ def test_shape_grid_and_loss_ordering():
     v, f = _cube()
     grid = sl.build_shape_grid(v, f, resolution=24, mesh_scale=0.7,
                                proximal_surface=0.3)
-    assert np.isfinite(np.asarray(grid.winding)).all()
+    # winding numbers of a closed cube lie in [-eps, 1+eps] (value
+    # contract, subsumes finiteness)
+    w = np.asarray(grid.winding)
+    assert w.min() >= -0.25 and w.max() <= 1.25
     # interior fraction of a cube scaled so its max-radius is 0.7 inside
     # a [-1,1]^3 grid: strictly between 0 and 50%
     frac = float((np.asarray(grid.winding) > 0.5).mean())
@@ -82,8 +85,8 @@ def test_shape_grid_and_loss_ordering():
     assert l_match < l_inv
     # gradient w.r.t. density is finite and nonzero
     g = jax.grad(lambda d: sl.shape_loss(pts, d, grid))(dens_match * 0.1)
-    assert np.isfinite(np.asarray(g)).all()
-    assert float(jnp.abs(g).sum()) > 0.0
+    gmax = float(jnp.abs(g).max())
+    assert 0.0 < gmax < 1e6  # nonzero and bounded (subsumes finite)
 
 
 def _write_cube_obj(path):
@@ -181,4 +184,5 @@ def test_latentnerf_guide_shape_trains(tmp_path):
     )
     assert int(state["step"]) == 2
     leaves = jax.tree_util.tree_leaves(state["geo"])
-    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # trained leaves bounded (subsumes finite: NaN fails the comparison)
+    assert all(float(np.abs(np.asarray(l)).max()) < 1e6 for l in leaves)

@@ -36,12 +36,12 @@ def test_sjc_grad_finite_and_distinct(sjc_guidance):
     args = (jnp.zeros((1,)), jnp.zeros((1,)), jnp.full((1,), 1.5))
 
     out = g(g.params, rgb, pu, *args, step=0, rng=jax.random.PRNGKey(7))
-    assert np.isfinite(float(out["loss_sds"]))
+    assert 0.0 <= float(out["loss_sds"]) < 1e6  # bounded subsumes finite
     grad_img = jax.grad(
         lambda x: g(g.params, x, pu, *args, step=0, rng=jax.random.PRNGKey(7))["loss_sds"]
     )(rgb)
-    assert np.isfinite(np.asarray(grad_img)).all()
-    assert float(jnp.abs(grad_img).max()) > 0.0
+    gmax = float(jnp.abs(grad_img).max())
+    assert 0.0 < gmax < 1e4  # nonzero and bounded (subsumes finite)
 
     g2 = dreammat_tpu.find("stable-diffusion-guidance")(
         {
@@ -124,7 +124,8 @@ def test_sjc_system_trains(tmp_path):
     assert int(state["step"]) == 2
     assert system.guidance.cfg.use_sjc  # estimator forced on
     leaves = jax.tree_util.tree_leaves({"geo": state["geo"], "bg": state["bg"]})
-    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # trained leaves bounded (subsumes finite: NaN fails the comparison)
+    assert all(float(np.abs(np.asarray(l)).max()) < 1e6 for l in leaves)
     from conftest import assert_state_moved
 
     assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,

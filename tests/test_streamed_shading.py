@@ -75,5 +75,5 @@ def test_streamed_grad_flows():
         return jnp.sum(out["color"])
 
     g = jax.grad(loss)(jnp.zeros((P, 5)))
-    assert np.isfinite(np.asarray(g)).all()
-    assert float(jnp.abs(g).sum()) > 0
+    gmax = float(jnp.abs(g).max())
+    assert 0 < gmax < 1e4  # nonzero and bounded (subsumes finite)

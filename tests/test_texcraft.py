@@ -76,7 +76,8 @@ def test_texcraft_two_steps_update_params(tmp_path):
     )
     assert int(state["step"]) == 2
     leaves = jax.tree_util.tree_leaves(state["geo"])
-    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # trained leaves bounded (subsumes finite: NaN fails the comparison)
+    assert all(float(np.abs(np.asarray(l)).max()) < 1e6 for l in leaves)
     p0 = system.geometry.init(jax.random.PRNGKey(0))
     moved = float(abs(np.asarray(state["geo"]["table"]) - np.asarray(p0["table"])).max())
     assert moved > 0.0
@@ -114,9 +115,9 @@ def test_sds_guidance_grad_formula():
         return out["loss_sds"]
 
     val, g = jax.value_and_grad(loss_fn)(rgb)
-    assert np.isfinite(float(val))
-    assert np.isfinite(np.asarray(g)).all()
-    assert float(jnp.abs(g).max()) > 0.0
+    assert 0.0 <= float(val) < 1e6  # bounded subsumes finite
+    gmax = float(jnp.abs(g).max())
+    assert 0.0 < gmax < 1e4
 
 
 def test_sds_weighting_strategies():
@@ -162,4 +163,4 @@ def test_sds_guidance_with_depth_controlnet():
         guidance.params, rgb, pu, jnp.zeros((1,)), jnp.zeros((1,)),
         jnp.ones((1,)), cond, step=jnp.int32(0), rng=jax.random.PRNGKey(1),
     )
-    assert np.isfinite(float(out["loss_sds"]))
+    assert 0.0 <= float(out["loss_sds"]) < 1e6  # bounded subsumes finite

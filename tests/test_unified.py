@@ -114,13 +114,13 @@ def test_triple_guidance_canny_and_grad():
     cond = jax.random.uniform(jax.random.PRNGKey(2), (1, 24, 24, 4))
     args = (jnp.zeros((1,)), jnp.zeros((1,)), jnp.full((1,), 1.5))
     out = g(g.params, rgb, pu, *args, cond, step=0, rng=jax.random.PRNGKey(3))
-    assert np.isfinite(float(out["loss_sds"]))
+    assert 0.0 <= float(out["loss_sds"]) < 1e6  # bounded subsumes finite
     grad = jax.grad(
         lambda x: g(g.params, x, pu, *args, cond, step=0,
                     rng=jax.random.PRNGKey(3))["loss_sds"]
     )(rgb)
-    assert np.isfinite(np.asarray(grad)).all()
-    assert float(jnp.abs(grad).max()) > 0
+    gmax = float(jnp.abs(grad).max())
+    assert 0.0 < gmax < 1e4  # nonzero and bounded (subsumes finite)
 
     # canny preprocessing: an edge image has edges where the input steps
     from dreammat_tpu.models.guidance_triple import soft_canny
@@ -154,7 +154,7 @@ def test_triple_guidance_hed_control():
     cond = jax.random.uniform(jax.random.PRNGKey(2), (1, 24, 24, 4))
     args = (jnp.zeros((1,)), jnp.zeros((1,)), jnp.full((1,), 1.5))
     out = g(g.params, rgb, pu, *args, cond, step=0, rng=jax.random.PRNGKey(3))
-    assert np.isfinite(float(out["loss_sds"]))
+    assert 0.0 <= float(out["loss_sds"]) < 1e6  # bounded subsumes finite
     # the HED-conditioned branch must contribute signal, not just not-NaN
     grad = jax.grad(
         lambda x: g(g.params, x, pu, *args, cond, step=0,

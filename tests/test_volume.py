@@ -53,9 +53,8 @@ def test_implicit_volume_outputs_and_normals():
     assert out["density"].shape == (5, 7, 1)
     assert out["features"].shape == (5, 7, 3)
     assert out["normal"].shape == (5, 7, 3)
-    assert np.all(np.isfinite(np.asarray(out["normal"])))
     n = np.linalg.norm(np.asarray(out["normal"]), axis=-1)
-    assert np.allclose(n, 1.0, atol=1e-3)
+    assert np.allclose(n, 1.0, atol=1e-3)  # unit normals subsume finite
 
     # analytic normal agrees in direction with finite difference on the
     # (smooth) blob-dominated field
@@ -145,7 +144,9 @@ def test_render_rays_blob_hit_and_miss():
     assert op[1] < 0.05      # 2.5 off-axis: outside bbox rows of the blob
     d = float(np.asarray(out["depth"])[0, 0])
     assert 2.2 < d < 3.2     # first-hit depth near the blob surface
-    assert np.all(np.isfinite(np.asarray(out["comp_rgb"])))
+    rgb = np.asarray(out["comp_rgb"])
+    # composite over a [0,1] background with sigmoid-activated material
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0 + 1e-4
 
 
 def test_occ_update_and_tighten():
@@ -247,7 +248,8 @@ def test_dreamfusion_trains(df_run):
     cfg, system, dm, state = df_run
     assert int(state["step"]) == 2
     leaves = jax.tree_util.tree_leaves({"geo": state["geo"], "bg": state["bg"]})
-    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # trained leaves bounded (subsumes finite: NaN fails the comparison)
+    assert all(float(np.abs(np.asarray(l)).max()) < 1e6 for l in leaves)
     from conftest import assert_state_moved
 
     assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,

@@ -92,7 +92,8 @@ def test_vsd_outputs(vsd_rig):
     rgb = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 32, 3))
     out = _vsd_call(g, lora, pu, rgb)
     for k in ("loss_vsd", "loss_lora", "grad_norm"):
-        assert np.isfinite(float(out[k])), k
+        # bounded non-negative (subsumes finite: NaN fails the bound)
+        assert 0.0 <= float(out[k]) < 1e6, k
     assert float(out["loss_lora"]) > 0.0
 
 
@@ -173,7 +174,8 @@ def test_prolificdreamer_trains(tmp_path):
     leaves = jax.tree_util.tree_leaves(
         {"geo": state["geo"], "bg": state["bg"], "lora": state["lora"]}
     )
-    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # trained leaves bounded (subsumes finite: NaN fails the comparison)
+    assert all(float(np.abs(np.asarray(l)).max()) < 1e6 for l in leaves)
     # the lora up-factors moved off zero (its optimizer ran)
     ups = [float(jnp.abs(v["up"]).max()) for v in state["lora"]["layers"].values()]
     assert max(ups) > 0.0
@@ -253,7 +255,8 @@ def test_prolificdreamer_texture_stage_trains(tmp_path):
     leaves = jax.tree_util.tree_leaves(
         {"geo": state["geo"], "bg": state["bg"], "lora": state["lora"]}
     )
-    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # trained leaves bounded (subsumes finite: NaN fails the comparison)
+    assert all(float(np.abs(np.asarray(l)).max()) < 1e6 for l in leaves)
     from conftest import assert_state_moved
 
     assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,

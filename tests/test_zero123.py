@@ -51,14 +51,16 @@ def test_zero123_guidance_grad(z123):
     dist = jnp.asarray([1.5])
 
     out = g(g.params, rgb, elev, azim, dist, step=0, rng=jax.random.PRNGKey(2))
-    assert np.isfinite(float(out["loss_sds"]))
+    # bounded non-negative loss (subsumes finiteness)
+    assert 0.0 <= float(out["loss_sds"]) < 1e6
 
     grad = jax.grad(
         lambda x: g(g.params, x, elev, azim, dist, step=0,
                     rng=jax.random.PRNGKey(2))["loss_sds"]
     )(rgb)
-    assert np.isfinite(np.asarray(grad)).all()
-    assert float(jnp.abs(grad).max()) > 0.0
+    # nonzero AND bounded image gradient (NaN/inf fail the upper bound)
+    gmax = float(jnp.abs(grad).max())
+    assert 0.0 < gmax < 1e4
 
 
 def test_zero123_vsd_guidance(cond_png):
@@ -82,8 +84,8 @@ def test_zero123_vsd_guidance(cond_png):
     c2w = jnp.eye(4)[None]
     out = g(g.params, rgb, elev, azim, dist, c2w=c2w, lora_params=lora,
             step=0, rng=jax.random.PRNGKey(3))
-    assert np.isfinite(float(out["loss_vsd"]))
-    assert np.isfinite(float(out["loss_lora"]))
+    assert 0.0 <= float(out["loss_vsd"]) < 1e6   # bounded subsumes finite
+    assert 0.0 <= float(out["loss_lora"]) < 1e6
 
     g_img, g_lora = jax.grad(
         lambda x, lp: g(g.params, x, elev, azim, dist, c2w=c2w,
@@ -121,7 +123,7 @@ def test_zero123_vsd_guidance(cond_png):
     lora2 = g2.init_lora(jax.random.PRNGKey(4))
     out2 = g2(g2.params, rgb, elev, azim, dist, c2w=c2w, lora_params=lora2,
               step=0, rng=jax.random.PRNGKey(5))
-    assert np.isfinite(float(out2["loss_vsd"]))
+    assert 0.0 <= float(out2["loss_vsd"]) < 1e6  # bounded subsumes finite
 
 
 def test_zero123_pose_conditioning_changes_eps(z123):
@@ -174,7 +176,9 @@ def test_single_image_datamodule(cond_png):
     assert m[12, 12] == 1.0 and m[0, 0] == 0.0
     rc = b["random_camera"]
     assert rc["rays_o"].shape == (24 * 24, 3)
-    assert np.isfinite(np.asarray(rc["rays_d"])).all()
+    # ray directions are unit vectors (stronger than finite)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(rc["rays_d"]), axis=-1), 1.0, atol=1e-4)
     # eval circle comes from the embedded random-camera module
     ev = dm.eval_rays(0)
     assert ev["rays_o"].shape[:2] == (24, 24)
@@ -200,7 +204,8 @@ def test_zero123_system_trains(cond_png, tmp_path):
     )
     assert int(state["step"]) == 2
     leaves = jax.tree_util.tree_leaves({"geo": state["geo"], "bg": state["bg"]})
-    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # every trained leaf bounded (subsumes finite: NaN fails the comparison)
+    assert all(float(np.abs(np.asarray(l)).max()) < 1e6 for l in leaves)
     from conftest import assert_state_moved
 
     assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,
@@ -262,7 +267,8 @@ def test_magic123_system_trains(cond_png, tmp_path):
     assert int(state["step"]) == 2
     assert system.guidance_3d is not None
     leaves = jax.tree_util.tree_leaves(state["geo"])
-    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # every trained leaf bounded (subsumes finite: NaN fails the comparison)
+    assert all(float(np.abs(np.asarray(l)).max()) < 1e6 for l in leaves)
     from conftest import assert_state_moved
 
     assert_state_moved(state, dreammat_tpu.find(cfg.system_type), cfg, dm,
