@@ -88,8 +88,14 @@ def main():
     sched = make_schedule(SchedulerConfig())
 
     @jax.jit
-    def denoise_step(up, vp, cp, rgb, cond1, ctx, rng):
+    def denoise_step(up, vp, cp, rgb, cond1, ctx, rng, carry):
+        # carry chains a data dependency between consecutive steps: step i+1's
+        # input depends on step i's output, so NO device work can drain past
+        # the final value pull (round-3 bench overstated 2.5x exactly because
+        # independent steps let up to n-1 steps finish after the timer).
+        # 1e-30 scale: numerically invisible, but not constant-foldable.
         k1, k2, k3 = jax.random.split(rng, 3)
+        rgb = rgb + carry * 1e-30
         latents = vae.apply(vp, rgb * 2 - 1, k1, method=vae.encode).astype(jnp.float32)
         tt = jax.random.randint(k2, (1,), 20, 980)
         noise = jax.random.normal(k3, latents.shape)
@@ -103,37 +109,72 @@ def main():
         eps = unet.apply(up, lat3, t3, ctx,
                          down_block_additional_residuals=down,
                          mid_block_additional_residual=mid)
-        return jnp.sum(eps)
+        return jnp.sum(eps.astype(jnp.float32))
 
     rgb_in = jnp.full((1, H, H, 3), 0.5)
     cond_in = jnp.full((1, H, H, 22), 0.5)
     ctx_in = jnp.zeros((3, ctx_len, ctx_dim))
+    zero = jnp.zeros(())
 
     # warmup / compile (float() pull: through the remote-device tunnel
     # block_until_ready does not reliably block, a value pull does)
-    float(denoise_step(up, vp, cp, rgb_in, cond_in, ctx_in, jax.random.PRNGKey(0)))
+    float(denoise_step(up, vp, cp, rgb_in, cond_in, ctx_in,
+                       jax.random.PRNGKey(0), zero))
+
+    keys = [jax.random.PRNGKey(i) for i in range(200)]
 
     def run(n):
+        """One long blocking run of n CHAINED steps; returns elapsed seconds.
+
+        Because step i+1 consumes step i's scalar output, the final float()
+        pull cannot return before every step's device work is done — the
+        measurement is a strict upper bound on true device time (it includes
+        the single dispatch-chain + pull overhead, amortized over n)."""
+        carry = zero
         t0 = time.perf_counter()
-        out = None
         for i in range(n):
-            out = denoise_step(up, vp, cp, rgb_in, cond_in, ctx_in,
-                               jax.random.PRNGKey(i))
-        float(out)  # value pull = device stream drain (in-order execution)
+            carry = denoise_step(up, vp, cp, rgb_in, cond_in, ctx_in,
+                                 keys[i], carry)
+        float(carry)
         return time.perf_counter() - t0
 
-    # slope method: T(n2)-T(n1) cancels the fixed dispatch+pull overhead,
-    # leaving true per-step device time. The remote-TPU tunnel injects rare
-    # ~0.9 s stalls into individual timings (observed bimodal t(5): 0.27 s vs
-    # 1.1 s); a single (t1, t2) pair that catches a stall on one side skews
-    # the slope by up to 5x in either direction, so each point is the MIN of
-    # several repetitions (a stall only ever adds time) before the slope.
-    n1, n2 = (1, 4) if small else (5, 25)
-    reps = 2 if small else 4
-    run(1)
-    t1 = min(run(n1) for _ in range(reps))
-    t2 = min(run(n2) for _ in range(reps))
-    steps_per_sec = (n2 - n1) / max(t2 - t1, 1e-9)
+    # one long run amortizes fixed overhead to <5%; median of 3 rejects the
+    # rare ~0.9 s tunnel stalls (which only ever ADD time). No slope, no min:
+    # round 3's min-of-slope systematically selected runs where device work
+    # drained past the timer.
+    n = 8 if small else 100
+    run(2)  # absorb lazy second-call work
+    times = sorted(run(n) for _ in range(3))
+    steps_per_sec = n / times[1]
+
+    # self-check: implied MFU must be physically possible. Round-3's 52.75
+    # steps/s x 4.16 TFLOP/step = 219 TFLOP/s on a 197 TFLOP/s-peak v5e
+    # (>100% MFU) should have failed the bench, not been committed.
+    from dreammat_tpu.utils import hw
+
+    if not small and hw.is_tpu_backend():
+        peak_tflops = 197.0  # bf16 peak per chip, TPU v5e
+        try:
+            c = denoise_step.lower(
+                up, vp, cp, rgb_in, cond_in, ctx_in, keys[0], zero
+            ).compile().cost_analysis()
+            if isinstance(c, list):
+                c = c[0]
+            step_tflop = float(c.get("flops", 0.0)) / 1e12
+        except Exception:
+            step_tflop = 0.0
+        implied_mfu = steps_per_sec * step_tflop / peak_tflops
+        if implied_mfu > 1.0:
+            print(
+                f"BENCH SELF-CHECK FAILED: {steps_per_sec:.2f} steps/s x "
+                f"{step_tflop:.2f} TFLOP/step = "
+                f"{steps_per_sec * step_tflop:.0f} TFLOP/s exceeds the "
+                f"{peak_tflops:.0f} TFLOP/s v5e peak (implied MFU "
+                f"{implied_mfu * 100:.0f}% > 100%) — the timing leaked device "
+                f"work past the timer.",
+                file=sys.stderr,
+            )
+            sys.exit(1)
 
     print(json.dumps({
         "metric": "csd_denoise_steps_per_sec_per_chip",

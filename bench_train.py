@@ -32,6 +32,13 @@ def main():
     ap.add_argument("--no-static-maps", action="store_true",
                     help="disable static field maps entirely (dynamic "
                     "scatter backward baseline)")
+    ap.add_argument("--regime", default="tables",
+                    choices=["tables", "mc-baked", "mc-raytrace"],
+                    help="shading regime: 'tables' = prefiltered light "
+                    "tables (default fast path); 'mc-baked' = per-sample MC "
+                    "estimator with baked-visibility lookups (what the "
+                    "fastpath gate falls back to); 'mc-raytrace' = per-ray "
+                    "BVH visibility (reference-parity exact estimator)")
     args = ap.parse_args()
 
     import jax
@@ -75,6 +82,10 @@ def main():
                 "prompt": "a benchmark apple", "model_size": args.model_size,
                 "use_cache": False,
             },
+            "renderer": (
+                {"visibility_mode": "raytrace"}
+                if args.regime == "mc-raytrace" else {}
+            ),
         }
     )
     dm = dreammat_tpu.find("random-camera-datamodule")(
@@ -93,6 +104,11 @@ def main():
     dm.setup()
     t_pre = time.time() - t0
     dreammat_tpu.info("prerender (%d views): %.1fs", args.views, t_pre)
+    if args.regime != "tables" and dm.data is not None:
+        # drop the prefiltered light tables: every step shades through the
+        # MC estimator (visibility from the baked table, or BVH rays in
+        # mc-raytrace) — the regime the fastpath gate switches to
+        dm.data.table_spec = None
 
     state = system.fit(
         dm, max_steps=args.steps, seed=0, trial_dir="/tmp/bench_train",
@@ -168,6 +184,7 @@ def main():
         "metric": "full_train_steps_per_sec",
         "value": round(sps, 3),
         "unit": "steps/s",
+        "regime": args.regime,
         "device_only_steps_per_sec": round(sps_device, 3),
         "mins_per_mesh_3000_steps": round(mins_per_mesh, 2),
         "prerender_secs_per_view": round(t_pre / args.views, 2),

@@ -66,8 +66,16 @@ class RandomCameraDataModule(BaseObject):
         cond_width: int = 256
         # measure the fast-path (split-sum tables + baked visibility) error
         # against exact MC on one view at setup; above the threshold the
-        # tables are dropped and training shades through the exact estimator
-        fastpath_check: bool = False
+        # tables are dropped and training shades through the per-sample MC
+        # estimator (baked-visibility lookups, or BVH rays in "raytrace"
+        # visibility mode). "auto" (default) runs the check only when the
+        # baked visibility table shows upper-hemisphere self-occlusion —
+        # convex meshes skip the ~1 extra exact-MC view (~10-20 s on chip),
+        # self-occluding meshes (where prefiltering provably degrades the
+        # gradient, README "Fast-path fidelity") always get checked.
+        # true/false force it on/off.
+        fastpath_check: Any = "auto"
+        fastpath_occlusion_threshold: float = 0.01
         fastpath_rmse_threshold: float = 0.08
         # gradient-space check (runs with fastpath_check): cosine between
         # the fast-path and exact-MC material-feature gradients on a pixel
@@ -148,8 +156,24 @@ class RandomCameraDataModule(BaseObject):
             cond_height=cfg.cond_height, cond_width=cfg.cond_width,
             pixel_budget=cfg.pixel_budget or None,
         )
+        check = cfg.fastpath_check
+        if check == "auto":
+            baked = getattr(self.material, "baked_visibility", None)
+            if baked is None:
+                check = False
+            else:
+                from dreammat_tpu.ops.visibility import self_occlusion_fraction
+
+                occ = self_occlusion_fraction(baked, self.renderer.mesh.v_nrm)
+                check = occ >= cfg.fastpath_occlusion_threshold
+                dreammat_tpu.info(
+                    "fastpath_check=auto: upper-hemisphere self-occlusion "
+                    "%.2f%% -> %s", occ * 100.0,
+                    "running fidelity check" if check else
+                    "convex enough, skipping",
+                )
         if (
-            cfg.fastpath_check
+            check
             and self.data.table_spec is not None
             and getattr(self.material.cfg, "use_prefiltered", False)
         ):

@@ -339,9 +339,16 @@ def init_normalbae_params(rng: jax.Array, architecture: str = "GN") -> Dict[str,
     return p
 
 
-def _bn(x, p):
-    inv = jax.lax.rsqrt(p["var"] + 1e-5)
+def _bn(x, p, eps=1e-5):
+    inv = jax.lax.rsqrt(p["var"] + eps)
     return (x - p["mean"]) * inv * p["scale"] + p["bias"]
+
+
+def _bn_tf(x, p):
+    """Encoder BatchNorm: geffnet's tf_efficientnet_b5_ap is a TF-ported
+    model built with BN_EPS_TF_DEFAULT=1e-3 (NOT torch's 1e-5) — with real
+    scannet.pt weights the wrong eps compounds across ~100 BN layers."""
+    return _bn(x, p, eps=1e-3)
 
 
 def _gn(x, p, groups: int = 8):
@@ -393,7 +400,7 @@ def _se(x, p):
 def efficientnet_b5_features(enc: Dict[str, Any], x: jnp.ndarray) -> List[jnp.ndarray]:
     """Returns [stage0, stage1, stage2, stage4, conv_head] outputs — the
     five skips the NNET Encoder hands the decoder (features[4,5,6,8,11])."""
-    h = _swish(_bn(_conv2d(x, enc["conv_stem"], stride=2), enc["bn1"]))
+    h = _swish(_bn_tf(_conv2d(x, enc["conv_stem"], stride=2), enc["bn1"]))
     skips = []
     for si, (n, k, s, e, ci, co) in enumerate(_B5_STAGES):
         for bi in range(n):
@@ -401,16 +408,16 @@ def efficientnet_b5_features(enc: Dict[str, Any], x: jnp.ndarray) -> List[jnp.nd
             stride = s if bi == 0 else 1
             b_in = h.shape[-1]
             if e == 1:
-                y = _swish(_bn(_conv2d(h, blk["conv_dw"], stride=stride,
+                y = _swish(_bn_tf(_conv2d(h, blk["conv_dw"], stride=stride,
                                        groups=b_in), blk["bn1"]))
                 y = _se(y, blk["se"])
-                y = _bn(_conv2d(y, blk["conv_pw"]), blk["bn2"])
+                y = _bn_tf(_conv2d(y, blk["conv_pw"]), blk["bn2"])
             else:
-                y = _swish(_bn(_conv2d(h, blk["conv_pw"]), blk["bn1"]))
-                y = _swish(_bn(_conv2d(y, blk["conv_dw"], stride=stride,
+                y = _swish(_bn_tf(_conv2d(h, blk["conv_pw"]), blk["bn1"]))
+                y = _swish(_bn_tf(_conv2d(y, blk["conv_dw"], stride=stride,
                                        groups=y.shape[-1]), blk["bn2"]))
                 y = _se(y, blk["se"])
-                y = _bn(_conv2d(y, blk["conv_pwl"]), blk["bn3"])
+                y = _bn_tf(_conv2d(y, blk["conv_pwl"]), blk["bn3"])
             if stride == 1 and y.shape[-1] == b_in:
                 y = y + h
             h = y
@@ -509,11 +516,24 @@ class NormalBaeDetector:
     def tree_unflatten(cls, aux, children):
         return cls({"architecture": aux, **children[0]})
 
+    # controlnet_aux resizes to detect_resolution=512 before inference and
+    # back after — the estimator must see the scale its weights were tuned
+    # for, regardless of the render resolution.
+    detect_resolution: int = 512
+
     def __call__(self, rgb: jnp.ndarray) -> jnp.ndarray:
-        x = (rgb - jnp.asarray(_IMAGENET_MEAN)) / jnp.asarray(_IMAGENET_STD)
+        H, W = rgb.shape[:2]
+        dr = self.detect_resolution
+        x = rgb
+        if (H, W) != (dr, dr):
+            x = jax.image.resize(x, (dr, dr, 3), method="linear")
+        x = (x - jnp.asarray(_IMAGENET_MEAN)) / jnp.asarray(_IMAGENET_STD)
         preds = normalbae_forward(self.params, x[None])
         normal = preds[-1][0, ..., :3]
-        return jnp.clip((normal + 1.0) * 0.5, 0.0, 1.0)
+        img = jnp.clip((normal + 1.0) * 0.5, 0.0, 1.0)
+        if (H, W) != (dr, dr):
+            img = jax.image.resize(img, (H, W, 3), method="linear")
+        return img
 
 
 def normalbae_torch_key_map(architecture: str = "GN") -> Dict[str, Tuple[str, bool]]:

@@ -13,6 +13,7 @@ module dtype (bf16 by default on TPU).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -20,6 +21,20 @@ import jax
 import jax.numpy as jnp
 
 Dtype = Any
+
+
+def norm_dtype(module_dtype: Dtype) -> Dtype:
+    """Output dtype for GroupNorm/LayerNorm: the module dtype.
+
+    flax computes the normalization statistics in float32 regardless of
+    ``dtype`` (linen promotes mean/var for stability), so the only thing a
+    float32 ``dtype`` adds in a bf16 model is a float32 OUTPUT tensor —
+    doubling every norm's HBM write + the next op's read on the
+    bandwidth-bound 64^2 UNet levels. DREAMMAT_NORM=f32 restores the old
+    full-f32 outputs for A/B."""
+    if os.environ.get("DREAMMAT_NORM") == "f32":
+        return jnp.float32
+    return module_dtype
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0,
@@ -59,13 +74,13 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(32, epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        h = nn.GroupNorm(32, epsilon=1e-5, dtype=norm_dtype(self.dtype), name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(32, epsilon=1e-5, dtype=jnp.float32, name="norm2")(h)
+        h = nn.GroupNorm(32, epsilon=1e-5, dtype=norm_dtype(self.dtype), name="norm2")(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
@@ -126,11 +141,11 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=norm_dtype(self.dtype), name="norm1")(x)
         x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype, name="attn1")(h)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=norm_dtype(self.dtype), name="norm2")(x)
         x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype, name="attn2")(h, context)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=norm_dtype(self.dtype), name="norm3")(x)
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
         return x
 
@@ -149,7 +164,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x, context):
         B, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        h = nn.GroupNorm(32, epsilon=1e-6, dtype=norm_dtype(self.dtype), name="norm")(x)
         if self.use_linear_projection:
             h = h.reshape(B, H * W, C)
             h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
@@ -201,7 +216,7 @@ class SelfAttention2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32, name="group_norm")(x)
+        h = nn.GroupNorm(32, epsilon=1e-6, dtype=norm_dtype(self.dtype), name="group_norm")(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)

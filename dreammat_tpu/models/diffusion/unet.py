@@ -179,7 +179,7 @@ class UNet2DCondition(nn.Module):
                 dtype=self.dtype, name=f"up_blocks_{b}",
             )(x, skips, temb, context)
 
-        x = nn.GroupNorm(32, epsilon=1e-5, dtype=jnp.float32, name="conv_norm_out")(x)
+        x = nn.GroupNorm(32, epsilon=1e-5, dtype=L.norm_dtype(self.dtype), name="conv_norm_out")(x)
         x = nn.silu(x)
         x = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,

@@ -52,7 +52,7 @@ class Encoder(nn.Module):
         h = L.ResnetBlock(ch, dtype=self.dtype, name="mid_block_resnets_0")(h, None)
         h = L.SelfAttention2D(dtype=self.dtype, name="mid_block_attentions_0")(h)
         h = L.ResnetBlock(ch, dtype=self.dtype, name="mid_block_resnets_1")(h, None)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(h)
+        h = nn.GroupNorm(32, epsilon=1e-6, dtype=L.norm_dtype(self.dtype), name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
@@ -75,7 +75,7 @@ class Decoder(nn.Module):
                 h = L.ResnetBlock(ch, dtype=self.dtype, name=f"up_blocks_{b}_resnets_{i}")(h, None)
             if b != len(rev) - 1:
                 h = L.Upsample(ch, dtype=self.dtype, name=f"up_blocks_{b}_upsamplers_0")(h)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(h)
+        h = nn.GroupNorm(32, epsilon=1e-6, dtype=L.norm_dtype(self.dtype), name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 

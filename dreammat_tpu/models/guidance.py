@@ -201,7 +201,14 @@ class StableDiffusionLightGuidance(BaseObject):
             # the ControlNet's image-resolution conditioning stem (the
             # lowest-MFU convs of the whole step, 512^2 at 16-96 channels)
             # then runs once instead of n_copies times, and its latent-res
-            # output broadcasts over the replica batch in `x + cond`
+            # output broadcasts over the replica batch in `x + cond`. The
+            # broadcast only holds for condition batch 1; with data batch
+            # B>1 the stem must be replicated to match latent_in's B*n_copies
+            # (the stem dedup is a batch-1 fast path, not a general rewrite).
+            image_cond = [
+                c if c.shape[0] == 1 else jnp.concatenate([c] * n_copies, axis=0)
+                for c in image_cond
+            ]
             down, mid = self.multi_control_forward(
                 params, latent_in, t_in, text_embeddings, image_cond, scales)
         else:

@@ -278,8 +278,12 @@ def _fwd_blocks(n: int) -> tuple[int, int]:
     (256,512) default and 3.61 ms for XLA fused attention — fewer grid
     programs amortize the full-K/V VMEM streaming better. At 1024 tokens
     (1024,512) also edges the old default (0.14 vs 0.16 ms); shorter
-    sequences clamp block_q to the sequence."""
-    return min(1024, max(n, 128)), 512
+    sequences clamp block_q to the sequence, rounded up to the sublane
+    tile (16 covers bf16's 16x128) so a ragged N (e.g. 530) never hands
+    Mosaic a non-tileable block shape — the padding logic already covers
+    N not divisible by block_q."""
+    bq = min(1024, max(n, 128))
+    return -(-bq // 16) * 16, 512
 
 
 def flash_attention(q, k, v, block_q: int | None = None,

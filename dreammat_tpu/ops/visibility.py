@@ -142,6 +142,24 @@ def bake_vertex_visibility(
     return BakedVisibility(table=vis, oct_res=oct_res)
 
 
+def self_occlusion_fraction(
+    baked: BakedVisibility, v_nrm: jnp.ndarray, cos_margin: float = 0.1
+) -> float:
+    """Fraction of UPPER-hemisphere table bins that are occluded — a cheap
+    static probe for whether this mesh self-shadows at all.
+
+    Below-tangent-plane bins are excluded (on any closed mesh they hit the
+    surface itself, so counting them would flag a plain sphere); a convex
+    mesh scores ~0, a torus scores well above 1%. Used to auto-enable the
+    fast-path fidelity check only on meshes where prefiltering can actually
+    fail (datamodule fastpath_check="auto")."""
+    dirs, _ = oct_bin_geometry(baked.oct_res)
+    up = (v_nrm @ jnp.asarray(dirs).T) > cos_margin  # [V, O2]
+    occ = (baked.table.astype(jnp.float32) < 0.5) & up
+    denom = jnp.maximum(jnp.sum(up), 1)
+    return float(jnp.sum(occ) / denom)
+
+
 # ---------------------------------------------------------------------------
 # lookup
 # ---------------------------------------------------------------------------

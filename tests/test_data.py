@@ -265,6 +265,55 @@ def test_fastpath_check_and_fallback():
     assert dm3.data.table_spec is None
 
 
+def test_fastpath_auto_gate():
+    """fastpath_check="auto": convex meshes skip the fidelity check (tables
+    kept, no exact-MC view rendered); forcing the occlusion threshold to 0
+    makes auto run the check, and an impossible RMSE threshold then drops
+    the tables — the default config cannot silently train a self-occluding
+    mesh on prefiltered gradients (VERDICT r3 #3)."""
+    geo = dreammat_tpu.find("dreammat-mesh")(
+        {
+            "shape_init": "procedural:sphere",
+            "pos_encoding_config": {
+                "otype": "HashGrid", "n_levels": 2, "n_features_per_level": 2,
+                "log2_hashmap_size": 8, "base_resolution": 4, "per_level_scale": 1.5,
+            },
+        }
+    )
+    geo.set_mesh(make_icosphere(1))
+    mat = dreammat_tpu.find("dreammat-material")(
+        {
+            "environment_texture": "/nonexistent", "n_environments": 1,
+            "env_height": 16, "env_width": 32,
+            "diffuse_sample_num": 32, "specular_sample_num": 32,
+            "use_prefiltered": True,
+        }
+    )
+    bg = dreammat_tpu.find("solid-color-background")({})
+    ren = dreammat_tpu.find("raytracing-renderer")({}, geo, mat, bg)
+    base = {
+        "width": 24, "height": 24, "fix_view_num": 1, "fix_env_num": 1,
+        "cond_height": 24, "cond_width": 24, "prerender_cache_dir": None,
+        "fastpath_check": "auto",
+        # impossible RMSE threshold: if the check RUNS, the tables drop
+        "fastpath_rmse_threshold": 1e-9,
+    }
+    dm1 = dreammat_tpu.find("random-camera-datamodule")(dict(base), ren, mat)
+    dm1.setup()
+    # sphere is convex -> auto SKIPPED the check -> tables survive even the
+    # impossible threshold
+    assert dm1.data.table_spec is not None
+
+    mat.set_baked_visibility(None)
+    ren2 = dreammat_tpu.find("raytracing-renderer")({}, geo, mat, bg)
+    dm2 = dreammat_tpu.find("random-camera-datamodule")(
+        dict(base, fastpath_occlusion_threshold=0.0), ren2, mat
+    )
+    dm2.setup()
+    # occlusion threshold 0 forces auto to run the check -> tables drop
+    assert dm2.data.table_spec is None
+
+
 def test_static_maps_rotation():
     """HBM budget smaller than one view's maps -> resident window of one
     view that rotates through all views; every batch still carries enc_maps

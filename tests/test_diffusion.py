@@ -174,3 +174,31 @@ def test_tokenizer_fallback():
     assert not np.array_equal(ids, tok("a blue car"))
     b = tok.batch(["a", "b"])
     assert b.shape == (2, 16)
+
+
+def test_norm_dtype_bf16_outputs_match_f32_reference(monkeypatch):
+    """bf16 models materialize norm outputs in bf16 (halved HBM traffic);
+    statistics stay f32 inside flax, so the result must track the
+    DREAMMAT_NORM=f32 reference to bf16 rounding."""
+    import os
+    from dreammat_tpu.models.diffusion import layers as L
+
+    assert L.norm_dtype(jnp.bfloat16) == jnp.bfloat16
+    monkeypatch.setenv("DREAMMAT_NORM", "f32")
+    assert L.norm_dtype(jnp.bfloat16) == jnp.float32
+    monkeypatch.delenv("DREAMMAT_NORM")
+
+    block = L.ResnetBlock(out_channels=32, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 32), jnp.bfloat16)
+    temb = jax.random.normal(jax.random.PRNGKey(1), (1, 16), jnp.bfloat16)
+    params = block.init(jax.random.PRNGKey(2), x, temb)
+    y = block.apply(params, x, temb)
+    assert y.dtype == jnp.bfloat16
+
+    monkeypatch.setenv("DREAMMAT_NORM", "f32")
+    y_ref = block.apply(params, x, temb)
+    monkeypatch.delenv("DREAMMAT_NORM")
+    diff = jnp.abs(y.astype(jnp.float32) - y_ref.astype(jnp.float32))
+    scale = jnp.abs(y_ref.astype(jnp.float32)).max()
+    assert float(diff.max()) <= 0.05 * max(float(scale), 1.0)
+    assert float(scale) > 0.1  # non-degenerate activations

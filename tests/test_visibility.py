@@ -287,3 +287,28 @@ def test_torus_visibility_error_bound_by_direction_resolution():
     assert err1 < err0 * 1.05, (err0, err1)
     assert err_oct32 < err0 * 0.85, (err0, err_oct32)
     assert abs(err0 - err1) < (err0 - err_oct32) / 3.0, (err0, err1, err_oct32)
+
+
+def test_self_occlusion_fraction_separates_convex_from_occluded():
+    """The auto fastpath gate's static probe: a convex sphere scores ~0
+    (below the 1% datamodule threshold), geometry with real self-shadowing
+    scores well above it."""
+    m = mesh_lib.make_icosphere(2)
+    bvh = bvh_lib.build_bvh(np.asarray(m.v_pos), np.asarray(m.t_pos_idx))
+    baked = vis_lib.bake_vertex_visibility(bvh, m.v_pos, m.v_nrm, oct_res=8, eps=1e-2)
+    f_sphere = vis_lib.self_occlusion_fraction(baked, m.v_nrm)
+    assert f_sphere < 0.01
+
+    # stacked spheres: the lower sphere's top hemisphere sees the upper one
+    v1 = np.asarray(m.v_pos)
+    f1 = np.asarray(m.t_pos_idx)
+    v = np.concatenate([v1, v1 + np.asarray([0.0, 0.0, 2.5])])
+    f = np.concatenate([f1, f1 + len(v1)])
+    nrm = np.concatenate([np.asarray(m.v_nrm)] * 2)
+    bvh2 = bvh_lib.build_bvh(v, f)
+    baked2 = vis_lib.bake_vertex_visibility(
+        bvh2, jnp.asarray(v), jnp.asarray(nrm), oct_res=8, eps=1e-2
+    )
+    f_occ = vis_lib.self_occlusion_fraction(baked2, jnp.asarray(nrm))
+    assert f_occ > 0.01
+    assert f_occ > 3 * max(f_sphere, 1e-6)

@@ -10,12 +10,12 @@ Prints a markdown table + one JSON line.
 
 Timing method: through the remote-device tunnel `block_until_ready` does
 not reliably block (dispatch is acked before compute finishes), so naive
-loops measure dispatch rate. We instead time T(N) = N dispatches + ONE
-scalar value pull for two values of N and report the slope
-(T(N2)-T(N1))/(N2-N1): the pull forces the in-order device stream to
-drain, so the slope is true per-iteration device time with the fixed
-RPC/pull overhead subtracted. Each phase returns a scalar so the pull
-itself is cheap.
+loops measure dispatch rate. Each phase is therefore timed as one long
+CHAINED run: step i+1's input carries a (numerically invisible) dependency
+on step i's scalar output, so the single final value pull cannot return
+before every step's device work is done — no work can drain past the
+timer (the round-3 failure mode). Median of 3 runs rejects the rare ~0.9 s
+tunnel stalls. A per-phase self-check asserts implied MFU <= 100%.
 """
 
 import argparse
@@ -29,23 +29,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 V5E_PEAK_TFLOPS = 197.0  # bf16 peak per chip (TPU v5e)
 
 
-def timed(fn, args, iters):
-    """Slope-method per-iteration seconds (see module docstring)."""
-    float(fn(*args))  # compile + warm
+def timed(fn, args, iters, chain_idx):
+    """Chained-run per-iteration seconds (see module docstring).
+
+    ``chain_idx``: which positional arg is an array the carry perturbs
+    (adds carry*1e-30 — numerically invisible, not constant-foldable)."""
+    import jax
+
+    @jax.jit
+    def chained(carry, *a):
+        a = list(a)
+        a[chain_idx] = a[chain_idx] + carry * 1e-30
+        return fn(*a)
+
+    import jax.numpy as jnp
+
+    zero = jnp.zeros(())
+    float(chained(zero, *args))  # compile + warm
 
     def run(n):
+        carry = zero
         t0 = time.perf_counter()
-        out = None
         for _ in range(n):
-            out = fn(*args)
-        float(out)  # value pull = stream drain
+            carry = chained(carry, *args)
+        float(carry)  # pull forces ALL chained steps to have completed
         return time.perf_counter() - t0
 
-    n1 = max(2, iters // 4)
-    n2 = n1 + iters
+    n = max(10, iters)
     run(2)  # absorb any lazy second-call work
-    t1, t2 = run(n1), run(n2)
-    return max(t2 - t1, 1e-9) / (n2 - n1)
+    times = sorted(run(n) for _ in range(3))
+    return times[1] / n
 
 
 def flops_of(jfn, *args):
@@ -153,19 +166,20 @@ def main():
 
     phases = {}
     phases["vae_encode"] = (
-        timed(vae_encode, (vp, rgb_in, rng), args.iters),
+        timed(vae_encode, (vp, rgb_in, rng), args.iters, chain_idx=1),
         flops_of(vae_encode, vp, rgb_in, rng),
     )
     phases["controlnet_x3"] = (
-        timed(cnet_fwd, (cp, lat3, t3, ctx, cond1), args.iters),
+        timed(cnet_fwd, (cp, lat3, t3, ctx, cond1), args.iters, chain_idx=1),
         flops_of(cnet_fwd, cp, lat3, t3, ctx, cond1),
     )
     phases["unet_x3"] = (
-        timed(unet_fwd, (up, lat3, t3, ctx, down, mid), args.iters),
+        timed(unet_fwd, (up, lat3, t3, ctx, down, mid), args.iters, chain_idx=1),
         flops_of(unet_fwd, up, lat3, t3, ctx, down, mid),
     )
     phases["full_step"] = (
-        timed(full_step, (up, vp, cp, rgb_in, cond1, ctx, rng), args.iters),
+        timed(full_step, (up, vp, cp, rgb_in, cond1, ctx, rng), args.iters,
+              chain_idx=3),
         flops_of(full_step, up, vp, cp, rgb_in, cond1, ctx, rng),
     )
 
@@ -182,6 +196,11 @@ def main():
         rows[name] = {"ms": round(dt * 1e3, 2), "tflop": round(tf, 3),
                       "tflops": round(tfs, 1), "mfu": round(mfu, 4)}
         print(f"| {name} | {dt*1e3:.2f} | {tf:.3f} | {tfs:.1f} | {mfu*100:.1f}% |")
+        if mfu > 1.0:
+            print(f"SELF-CHECK FAILED: phase {name} implies "
+                  f"{mfu*100:.0f}% MFU (> 100% is physically impossible) — "
+                  f"timing leaked device work past the timer.", file=sys.stderr)
+            sys.exit(1)
     sps = 1.0 / phases["full_step"][0]
     print(f"\nfull step: {sps:.2f} steps/s")
     print(json.dumps({"attn": attn, "steps_per_sec": round(sps, 3), **rows}))

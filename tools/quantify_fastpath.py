@@ -258,6 +258,45 @@ def run(mesh_name, mesh_or_path, oct_resolutions, n_envs, res, mc_samples, seed=
                     np.sum(g_pf * g_gt)
                     / (np.linalg.norm(g_pf) * np.linalg.norm(g_gt) + 1e-12)
                 )
+
+                # --- mc_baked: the SAME GGX-lobe MC estimator as the exact
+                # path, but each sample direction's visibility comes from the
+                # 4-gather bilinear octahedral table instead of a BVH trace.
+                # Prefiltering destroys the lobe x visibility correlation
+                # (round-3 root cause of torus grad-cos 0.23); this mode
+                # keeps it — the table only approximates vis(omega), and the
+                # estimator still multiplies it per sample. This is what the
+                # fastpath gate falls back to (visibility_mode="baked" +
+                # table_spec=None), so its fidelity is the one that matters.
+                rmses_mc = {}
+                for mr in MR_COMBOS:
+                    m, r = mr
+                    mc = mat.shade_raytracing(
+                        gb.fg_pos, gb.fg_normal, gb.fg_viewdir,
+                        jnp.int32(env_id),
+                        jnp.full((P, 1), m), jnp.full((P, 1), r),
+                        jnp.full((P, 3), 0.6),
+                        jax.random.PRNGKey(7), is_train=False,
+                        mask=gb.fg_valid, vis_data=(gb.fg_tri, gb.fg_bary),
+                    )
+                    c = np.asarray(mc["color"])[valid]
+                    rmses_mc[mr] = float(np.sqrt(np.mean((c - gt[mr]) ** 2)))
+
+                def loss_mc(feats):
+                    out, _ = mat(
+                        sl(gb.fg_pos), feats, feats, sl(gb.fg_viewdir),
+                        sl(gb.fg_normal),
+                        jnp.int32(env_id), jax.random.PRNGKey(7),
+                        is_train=False, mask=sl(gb.fg_valid),
+                        vis_data=(sl(gb.fg_tri), sl(gb.fg_bary)),
+                    )
+                    return jnp.sum(out["color"] * W)
+
+                g_mc = np.asarray(jax.grad(loss_mc)(jnp.zeros((GP, 5))))
+                cos_mc = float(
+                    np.sum(g_mc * g_gt)
+                    / (np.linalg.norm(g_mc) * np.linalg.norm(g_gt) + 1e-12)
+                )
                 mat.set_baked_visibility(None)  # restore exact mode
 
                 row = {
@@ -267,6 +306,9 @@ def run(mesh_name, mesh_or_path, oct_resolutions, n_envs, res, mc_samples, seed=
                     "rmse_max": float(np.max(list(rmses.values()))),
                     "grad_cos": cos,
                     "grad_cos_floor": floor_cos,
+                    "rmse_mc_mean": float(np.mean(list(rmses_mc.values()))),
+                    "rmse_mc_max": float(np.max(list(rmses_mc.values()))),
+                    "grad_cos_mc": cos_mc,
                     **{f"rmse_m{m}r{r}": v for (m, r), v in rmses.items()},
                 }
                 rows.append(row)
@@ -329,8 +371,9 @@ def main():
                         supersample=args.supersample, subdiv=args.subdiv)
 
     # markdown summary: per (mesh, oct_res) averaged over envs/views
-    print("\n| mesh | oct_res | RMSE mean | RMSE max | grad cos | grad cos floor |")
-    print("|---|---|---|---|---|---|")
+    print("\n| mesh | oct_res | RMSE tables | grad cos tables | RMSE mc_baked "
+          "| grad cos mc_baked | grad cos floor |")
+    print("|---|---|---|---|---|---|---|")
     seen = {}
     for r in all_rows:
         k = (r["mesh"], r["oct_res"])
@@ -339,8 +382,9 @@ def main():
         print(
             f"| {mesh} | {oc} | "
             f"{np.mean([r['rmse_mean'] for r in rs]):.4f} | "
-            f"{np.max([r['rmse_max'] for r in rs]):.4f} | "
             f"{np.mean([r['grad_cos'] for r in rs]):.4f} | "
+            f"{np.mean([r.get('rmse_mc_mean', float('nan')) for r in rs]):.4f} | "
+            f"{np.mean([r.get('grad_cos_mc', float('nan')) for r in rs]):.4f} | "
             f"{np.mean([r.get('grad_cos_floor', float('nan')) for r in rs]):.4f} |"
         )
 

@@ -30,8 +30,88 @@ STATE = {
     "cmd": None,
     "killed": None,       # watchdog kill reason, shown in status
     "last_poll": None,    # last UI status poll (the reference's `alive` file)
+    "queue": [],          # pending job dicts (cmd, trial_dir), FIFO
+    "done": [],           # (cmd, outcome) history of retired jobs
 }
 LOCK = threading.Lock()
+
+# parity-plus over the reference's single global slot: submissions past the
+# running job wait in a bounded FIFO and start as the slot frees up
+MAX_QUEUE = 4
+
+# optional shared-secret auth (--token / DREAMMAT_WEBAPP_TOKEN); None = open
+# (reference gradio_app.py has no auth either — this is opt-in hardening)
+AUTH_TOKEN = os.environ.get("DREAMMAT_WEBAPP_TOKEN") or None
+
+
+def authorized(headers, query, form=None) -> bool:
+    """True when no token is configured, or the request carries it via
+    ``Authorization: Bearer <token>``, ``?token=``, or a form field."""
+    if AUTH_TOKEN is None:
+        return True
+    auth = headers.get("Authorization", "") if hasattr(headers, "get") else ""
+    if auth == f"Bearer {AUTH_TOKEN}":
+        return True
+    for source in (query, form):
+        if source and source.get("token", [None])[0] == AUTH_TOKEN:
+            return True
+    return False
+
+
+def _start_job_locked(job, popen):
+    """Start ``job`` in the (free) slot. Caller holds LOCK."""
+    proc = popen(job["cmd"])
+    STATE["proc"] = proc
+    STATE["trial_dir"] = job["trial_dir"]
+    STATE["started"] = time.time()
+    STATE["cmd"] = job["cmd"]
+    STATE["killed"] = None
+    STATE["last_poll"] = time.time()
+    threading.Thread(
+        target=_watchdog_loop, args=(proc, job["trial_dir"]), daemon=True
+    ).start()
+
+
+def submit_job(job, popen=subprocess.Popen):
+    """Submit a job dict ({"cmd", "trial_dir"}): starts it if the slot is
+    free, else queues it (bounded FIFO). Returns ("started", None),
+    ("queued", position) or ("rejected", reason)."""
+    with LOCK:
+        if STATE["proc"] is None or STATE["proc"].poll() is not None:
+            _retire_finished_locked()
+            _start_job_locked(job, popen)
+            return ("started", None)
+        if len(STATE["queue"]) >= MAX_QUEUE:
+            return ("rejected", f"queue full ({MAX_QUEUE} pending)")
+        STATE["queue"].append(job)
+        return ("queued", len(STATE["queue"]))
+
+
+def _retire_finished_locked():
+    """Move a finished slot into the done history. Caller holds LOCK."""
+    proc = STATE["proc"]
+    if proc is None or proc.poll() is None:
+        return
+    outcome = (f"killed: {STATE['killed']}" if STATE["killed"]
+               else f"exit {proc.returncode}")
+    STATE["done"].append((STATE["cmd"], outcome))
+    STATE["proc"] = None
+
+
+def pump_queue(popen=subprocess.Popen):
+    """Advance the queue: if the slot's job finished, retire it and start
+    the next queued job. Returns the started job dict or None. Called on
+    every status poll (no dedicated scheduler thread to leak)."""
+    with LOCK:
+        proc = STATE["proc"]
+        if proc is not None and proc.poll() is None:
+            return None
+        _retire_finished_locked()
+        if not STATE["queue"]:
+            return None
+        job = STATE["queue"].pop(0)
+        _start_job_locked(job, popen)
+        return job
 
 # Watchdog defaults (reference gradio_app.py:460-510 semantics: SIGKILL hung
 # or abandoned runs). hard/stale are generous because first-compile of
@@ -106,21 +186,28 @@ input,button{{font-size:1em;padding:.3em}}img{{max-width:100%}}</style>
 
 
 def status_text():
+    pump_queue()  # poll-driven scheduler: start the next queued job
     with LOCK:
         proc = STATE["proc"]
         trial = STATE["trial_dir"]
         killed = STATE["killed"]
+        pending = len(STATE["queue"])
+        history = STATE["done"][-3:]
         STATE["last_poll"] = time.time()  # UI heartbeat (reference `alive` file)
+    suffix = f" | {pending} queued" if pending else ""
+    for cmd, outcome in history:
+        suffix += f" | done: {' '.join(map(str, cmd[-2:]))} ({outcome})"
     if proc is None:
-        return "idle", ""
+        return "idle" + suffix, ""
     progress = ""
     if trial and os.path.exists(os.path.join(trial, "progress")):
         progress = open(os.path.join(trial, "progress")).read().strip()
     if proc.poll() is None:
-        return f"running ({progress})", preview_html(trial)
+        return f"running ({progress}){suffix}", preview_html(trial)
     if killed:
-        return f"killed by watchdog: {killed}", preview_html(trial)
-    return f"finished (exit {proc.returncode}) {progress}", preview_html(trial)
+        return f"killed by watchdog: {killed}{suffix}", preview_html(trial)
+    return (f"finished (exit {proc.returncode}) {progress}{suffix}",
+            preview_html(trial))
 
 
 def preview_html(trial):
@@ -148,6 +235,9 @@ class Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         url = urlparse(self.path)
+        if not authorized(self.headers, parse_qs(url.query)):
+            self.send_error(403, "missing or invalid token")
+            return
         if url.path == "/file":
             q = parse_qs(url.query)
             path = q.get("path", [""])[0]
@@ -169,43 +259,42 @@ class Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         length = int(self.headers.get("Content-Length", 0))
-        q = parse_qs(self.rfile.read(length).decode())
-        mesh = q.get("mesh", [""])[0]
-        prompt = q.get("prompt", [""])[0]
-        steps = q.get("steps", ["3000"])[0]
-        config = q.get("config", ["configs/dreammat.yaml"])[0]
-        with LOCK:
-            if STATE["proc"] is not None and STATE["proc"].poll() is None:
-                self._send(b"a job is already running; <a href='/'>back</a>")
-                return
-            tag = prompt.replace(" ", "_") or "job"
-            trial_dir = os.path.join("outputs", "webapp", tag)
-            cmd = [
-                "python", "launch.py", "--config", config, "--train",
-                f"system.prompt_processor.prompt={prompt}",
-                f"system.geometry.shape_init=mesh:{mesh}",
-                f"trainer.max_steps={steps}",
-                "exp_root_dir=outputs/webapp", "use_timestamp=false",
-            ]
-            proc = subprocess.Popen(cmd)
-            STATE["proc"] = proc
-            STATE["trial_dir"] = trial_dir
-            STATE["started"] = time.time()
-            STATE["cmd"] = cmd
-            STATE["killed"] = None
-            STATE["last_poll"] = time.time()
-            threading.Thread(
-                target=_watchdog_loop, args=(proc, trial_dir), daemon=True
-            ).start()
+        form = parse_qs(self.rfile.read(length).decode())
+        if not authorized(self.headers, parse_qs(urlparse(self.path).query),
+                          form):
+            self.send_error(403, "missing or invalid token")
+            return
+        mesh = form.get("mesh", [""])[0]
+        prompt = form.get("prompt", [""])[0]
+        steps = form.get("steps", ["3000"])[0]
+        config = form.get("config", ["configs/dreammat.yaml"])[0]
+        tag = prompt.replace(" ", "_") or "job"
+        trial_dir = os.path.join("outputs", "webapp", tag)
+        cmd = [
+            "python", "launch.py", "--config", config, "--train",
+            f"system.prompt_processor.prompt={prompt}",
+            f"system.geometry.shape_init=mesh:{mesh}",
+            f"trainer.max_steps={steps}",
+            "exp_root_dir=outputs/webapp", "use_timestamp=false",
+        ]
+        outcome, detail = submit_job({"cmd": cmd, "trial_dir": trial_dir})
+        if outcome == "rejected":
+            self._send(f"{html.escape(str(detail))}; "
+                       f"<a href='/'>back</a>".encode())
+            return
         self.send_response(303)
         self.send_header("Location", "/")
         self.end_headers()
 
 
 def main():
-    global HARD_TIMEOUT, STALE_TIMEOUT, ALIVE_TIMEOUT
+    global HARD_TIMEOUT, STALE_TIMEOUT, ALIVE_TIMEOUT, AUTH_TOKEN
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--token", default=AUTH_TOKEN,
+                    help="require this shared secret on every request "
+                         "(Bearer header, ?token=, or form field); also "
+                         "settable via DREAMMAT_WEBAPP_TOKEN. Default: open.")
     ap.add_argument("--hard-timeout", type=int, default=HARD_TIMEOUT,
                     help="SIGKILL the run after this many seconds total (0=off)")
     ap.add_argument("--stale-timeout", type=int, default=STALE_TIMEOUT,
@@ -217,6 +306,7 @@ def main():
     HARD_TIMEOUT = args.hard_timeout
     STALE_TIMEOUT = args.stale_timeout
     ALIVE_TIMEOUT = args.alive_timeout
+    AUTH_TOKEN = args.token or None
     server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
     print(f"serving on http://localhost:{args.port}")
     server.serve_forever()
