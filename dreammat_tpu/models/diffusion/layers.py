@@ -23,6 +23,19 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+def _ablated(tag: str) -> bool:
+    """True when ``tag`` is listed in DREAMMAT_ABLATE (comma-separated).
+
+    Ablation support for tools/profile_ablate.py: a listed subsystem is
+    replaced by identity AT TRACE TIME, so timing the model with and
+    without it attributes wall-clock to that subsystem (XLA dead-code
+    eliminates everything only the ablated op consumed, e.g. its QKV
+    projections). Never set during training — this changes the math.
+    Tags: selfattn, crossattn, ff, tx, norm, resconv."""
+    flags = os.environ.get("DREAMMAT_ABLATE")
+    return bool(flags) and tag in flags.split(",")
+
+
 def norm_dtype(module_dtype: Dtype) -> Dtype:
     """Output dtype for GroupNorm/LayerNorm: the module dtype.
 
@@ -74,13 +87,18 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(32, epsilon=1e-5, dtype=norm_dtype(self.dtype), name="norm1")(x)
+        if _ablated("resconv"):
+            if in_ch != self.out_channels:
+                x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+            return x
+        h = x if _ablated("norm") else nn.GroupNorm(32, epsilon=1e-5, dtype=norm_dtype(self.dtype), name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(32, epsilon=1e-5, dtype=norm_dtype(self.dtype), name="norm2")(h)
+        if not _ablated("norm"):
+            h = nn.GroupNorm(32, epsilon=1e-5, dtype=norm_dtype(self.dtype), name="norm2")(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
@@ -141,12 +159,20 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        h = nn.LayerNorm(epsilon=1e-5, dtype=norm_dtype(self.dtype), name="norm1")(x)
-        x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype, name="attn1")(h)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=norm_dtype(self.dtype), name="norm2")(x)
-        x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype, name="attn2")(h, context)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=norm_dtype(self.dtype), name="norm3")(x)
-        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        def _ln(name, y):
+            if _ablated("norm"):
+                return y
+            return nn.LayerNorm(epsilon=1e-5, dtype=norm_dtype(self.dtype), name=name)(y)
+
+        if not _ablated("selfattn"):
+            h = _ln("norm1", x)
+            x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype, name="attn1")(h)
+        if not _ablated("crossattn"):
+            h = _ln("norm2", x)
+            x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype, name="attn2")(h, context)
+        if not _ablated("ff"):
+            h = _ln("norm3", x)
+            x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
         return x
 
 
@@ -162,9 +188,11 @@ class Transformer2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
+        if _ablated("tx"):
+            return x
         B, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=norm_dtype(self.dtype), name="norm")(x)
+        h = x if _ablated("norm") else nn.GroupNorm(32, epsilon=1e-6, dtype=norm_dtype(self.dtype), name="norm")(x)
         if self.use_linear_projection:
             h = h.reshape(B, H * W, C)
             h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)

@@ -245,9 +245,16 @@ class DreamMatMaterial(BaseObject):
         enables the baked-visibility fast path."""
         shape = points.shape[:-1]
         env = self.get_environment_light(directions, env_id)
-        if self.baked_visibility is not None and vis_data is not None:
-            from dreammat_tpu.ops.visibility import lookup_visibility
+        from dreammat_tpu.ops.visibility import (
+            PixelVisibility, lookup_visibility, lookup_visibility_pixel,
+        )
 
+        if isinstance(vis_data, PixelVisibility):
+            # per-pixel baked table (fixed-camera rig): no barycentric
+            # spatial error, only directional binning (ops/visibility.py)
+            vis = lookup_visibility_pixel(vis_data, directions)
+            lights = env * vis[..., None]
+        elif self.baked_visibility is not None and vis_data is not None:
             tri_verts, bary = vis_data
             vis = lookup_visibility(self.baked_visibility, tri_verts, bary, directions)
             lights = env * vis[..., None]
@@ -406,9 +413,14 @@ class DreamMatMaterial(BaseObject):
 
         def chunk_lights(dirs):
             env = self.get_environment_light(dirs, env_id)
-            if self.baked_visibility is not None and vis_data is not None:
-                from dreammat_tpu.ops.visibility import lookup_visibility
+            from dreammat_tpu.ops.visibility import (
+                PixelVisibility, lookup_visibility, lookup_visibility_pixel,
+            )
 
+            if isinstance(vis_data, PixelVisibility):
+                vis = lookup_visibility_pixel(vis_data, dirs)
+                lights = env * vis[..., None]
+            elif self.baked_visibility is not None and vis_data is not None:
                 tri_verts, bary = vis_data
                 vis = lookup_visibility(self.baked_visibility, tri_verts, bary, dirs)
                 lights = env * vis[..., None]

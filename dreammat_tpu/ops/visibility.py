@@ -33,6 +33,23 @@ class BakedVisibility(NamedTuple):
     oct_res: int
 
 
+class PixelVisibility(NamedTuple):
+    """Per-PIXEL octahedral visibility for one G-buffer.
+
+    The per-vertex tables interpolate visibility barycentrically across a
+    triangle — on self-occluding geometry the shading point's true horizon
+    differs from the blend of its 3 corners', and that spatial error is
+    what decorrelates the baked-MC material gradient (torus grad_cos 0.28
+    vs the 0.75 exact-vs-exact floor; ROADMAP #41). The cameras are FIXED
+    (128-view rig), so visibility at every G-buffer pixel is a static
+    function of the mesh: bake it once per view (P x O^2 rays through the
+    same BVH as the exact path) and the only remaining error is
+    directional binning at the true point."""
+
+    table: jnp.ndarray  # [P, O*O] float (1 = unoccluded)
+    oct_res: int
+
+
 # ---------------------------------------------------------------------------
 # octahedral direction <-> uv mapping
 # ---------------------------------------------------------------------------
@@ -174,7 +191,20 @@ def lookup_visibility(
     """Soft visibility [P,S]: barycentric mix of the 3 vertex tables sampled
     at each direction — bilinearly over the octahedral bins by default (see
     oct_bilinear_bins_weights; 4 gathers), nearest-bin with
-    filter_mode="nearest" (1 gather, first-order directional aliasing)."""
+    filter_mode="nearest" (1 gather, first-order directional aliasing).
+
+    The result carries NO gradient (stop_gradient): the exact estimator's
+    visibility is a boolean ray hit through ``jnp.where`` — autodiff sees a
+    constant multiplier, zero derivative a.e. The bilinear lookup, if left
+    differentiable, injects a phantom d(vis)/d(direction) term near
+    horizons (vis swings 0->1 over ~1 bin) that the reference's gradient
+    (dreammat_material.py:490-507, hard CUDA-ray visibility) never
+    contains; stop_gradient removes it to match reference gradient
+    semantics. Measured effect on the torus material-gradient metric is
+    negligible (grad_cos_mc 0.2831 -> 0.2832, tools/quantify_fastpath.py)
+    — the remaining gap vs the exact-vs-exact floor (~0.75) has a
+    different cause (see ROADMAP #41). DREAMMAT_VIS_GRAD=smooth keeps the
+    term for A/B."""
     if filter_mode is None:
         filter_mode = DEFAULT_FILTER
     t = baked.table.astype(jnp.float32)
@@ -190,7 +220,68 @@ def lookup_visibility(
     out = bary[:, 0:1] * v0 + bary[:, 1:2] * v1 + bary[:, 2:3] * v2
     if filter_mode == "bilinear":
         out = jnp.sum(out.reshape(P, S, 4) * w4, axis=-1)
+    return _postprocess_vis(out)
+
+
+def _postprocess_vis(out: jnp.ndarray) -> jnp.ndarray:
+    """Shared tail of every table lookup: optional binarization A/B and the
+    reference-parity stop_gradient (see lookup_visibility docstring)."""
+    if os.environ.get("DREAMMAT_VIS_BIN"):
+        # A/B experiment (ROADMAP #41): binarize the per-sample lookup so
+        # its statistics match the exact estimator's hard 0/1 hits —
+        # replaces horizon softening with a decision boundary
+        out = (out > 0.5).astype(jnp.float32)
+    if os.environ.get("DREAMMAT_VIS_GRAD") != "smooth":
+        out = jax.lax.stop_gradient(out)
     return out
+
+
+def bake_pixel_visibility(
+    bvh: bvh_lib.FlatBVH,
+    pts: jnp.ndarray,      # [P,3] G-buffer shading points
+    normals: jnp.ndarray,  # [P,3]
+    oct_res: int = 16,
+    eps: float = 1e-3,
+    chunk: int = 1 << 16,
+    supersample: int = 1,
+) -> PixelVisibility:
+    """Bake an octahedral visibility table AT EACH G-BUFFER PIXEL.
+
+    Same caster and bin layout as :func:`bake_vertex_visibility`, evaluated
+    at shading points instead of vertices — the spatial-interpolation error
+    of the per-vertex tables vanishes. One-time cost per (mesh, view):
+    P x (oct_res*supersample)^2 rays; with the fixed 128-camera rig the
+    result is cacheable for the whole optimization (~P*O^2 f16 per view).
+    Background pixels (mask handled by the caller) bake garbage harmlessly
+    — their lights are zeroed downstream."""
+    bv = bake_vertex_visibility(
+        bvh, pts, normals, oct_res=oct_res, eps=eps, chunk=chunk,
+        supersample=supersample,
+    )
+    return PixelVisibility(table=bv.table, oct_res=oct_res)
+
+
+def lookup_visibility_pixel(
+    baked: PixelVisibility,
+    directions: jnp.ndarray,  # [P,S,3]
+    filter_mode: str | None = None,
+) -> jnp.ndarray:
+    """Per-sample visibility [P,S] from a per-pixel table — row i of the
+    table belongs to pixel i (no barycentric mixing). Same directional
+    filtering, binarization A/B, and stop_gradient semantics as
+    :func:`lookup_visibility`."""
+    if filter_mode is None:
+        filter_mode = DEFAULT_FILTER
+    t = baked.table.astype(jnp.float32)  # [P, O2]
+    P, S = directions.shape[:2]
+    if filter_mode == "bilinear":
+        bins4, w4 = oct_bilinear_bins_weights(directions, baked.oct_res)
+        v = jnp.take_along_axis(t, bins4.reshape(P, S * 4), axis=-1)
+        out = jnp.sum(v.reshape(P, S, 4) * w4, axis=-1)
+    else:
+        bins = dir_to_bin(directions, baked.oct_res)  # [P,S]
+        out = jnp.take_along_axis(t, bins, axis=-1)
+    return _postprocess_vis(out)
 
 
 # ---------------------------------------------------------------------------

@@ -202,3 +202,44 @@ def test_norm_dtype_bf16_outputs_match_f32_reference(monkeypatch):
     scale = jnp.abs(y_ref.astype(jnp.float32)).max()
     assert float(diff.max()) <= 0.05 * max(float(scale), 1.0)
     assert float(scale) > 0.1  # non-degenerate activations
+
+
+def test_ablation_hooks(monkeypatch):
+    """DREAMMAT_ABLATE replaces the tagged subsystem with identity at trace
+    time (tools/profile_ablate.py attribution): the tagged module's params
+    vanish from init and the output moves; without the flag the math is
+    byte-identical to the unhooked block."""
+    from dreammat_tpu.models.diffusion import layers as L
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 64))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 7, 64))
+    blk = L.BasicTransformerBlock(64, 8, 8, 64)
+    p_full = blk.init(jax.random.PRNGKey(2), x, ctx)
+    y_full = blk.apply(p_full, x, ctx)
+    assert sorted(p_full["params"]) == [
+        "attn1", "attn2", "ff", "norm1", "norm2", "norm3"]
+
+    monkeypatch.setenv("DREAMMAT_ABLATE", "selfattn")
+    p_abl = L.BasicTransformerBlock(64, 8, 8, 64).init(
+        jax.random.PRNGKey(2), x, ctx)
+    assert sorted(p_abl["params"]) == ["attn2", "ff", "norm2", "norm3"]
+    y_abl = L.BasicTransformerBlock(64, 8, 8, 64).apply(p_abl, x, ctx)
+    assert float(jnp.abs(y_abl - y_full).max()) > 1e-3
+
+    monkeypatch.delenv("DREAMMAT_ABLATE")
+    y_back = L.BasicTransformerBlock(64, 8, 8, 64).apply(p_full, x, ctx)
+    assert jnp.array_equal(y_back, y_full)
+
+    # ResnetBlock: norm ablation drops both GroupNorms, resconv collapses
+    # the block to its shortcut
+    xr = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 32))
+    temb = jax.random.normal(jax.random.PRNGKey(4), (1, 16))
+    res = L.ResnetBlock(out_channels=32)
+    pr = res.init(jax.random.PRNGKey(5), xr, temb)
+    yr = res.apply(pr, xr, temb)
+    monkeypatch.setenv("DREAMMAT_ABLATE", "resconv")
+    p_id = L.ResnetBlock(out_channels=32).init(jax.random.PRNGKey(5), xr, temb)
+    assert not jax.tree_util.tree_leaves(p_id)  # pure identity, no params
+    y_id = L.ResnetBlock(out_channels=32).apply(p_id, xr, temb)
+    assert jnp.array_equal(y_id, xr)
+    assert float(jnp.abs(yr - xr).max()) > 1e-3

@@ -312,3 +312,38 @@ def test_self_occlusion_fraction_separates_convex_from_occluded():
     f_occ = vis_lib.self_occlusion_fraction(baked2, jnp.asarray(nrm))
     assert f_occ > 0.01
     assert f_occ > 3 * max(f_sphere, 1e-6)
+
+
+def test_lookup_visibility_carries_no_gradient(monkeypatch):
+    """Reference parity (dreammat_material.py:490-507): visibility is a hard
+    boolean ray hit — autodiff must see a constant multiplier. The bilinear
+    table lookup would otherwise inject a phantom d(vis)/d(direction) term
+    near horizons that the exact estimator's gradient never contains.
+    (Measured: removing the term does NOT close the torus grad-cos gap —
+    0.2831 -> 0.2832 — so this is a parity fix, not the gap's root cause.)
+    DREAMMAT_VIS_GRAD=smooth re-enables the term for A/B."""
+    from dreammat_tpu.ops.visibility import BakedVisibility, lookup_visibility
+
+    O = 8
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.random((3, O * O)), jnp.float16)
+    baked = BakedVisibility(table=table, oct_res=O)
+    tri_verts = jnp.asarray([[0, 1, 2]], jnp.int32)
+    bary = jnp.asarray([[0.3, 0.3, 0.4]])
+
+    def loss(theta):
+        # directions depend on theta like GGX samples depend on roughness
+        d = jnp.stack([jnp.sin(theta), jnp.cos(theta) * 0.2,
+                       jnp.cos(theta)], axis=-1)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.sum(lookup_visibility(baked, tri_verts, bary, d[None]))
+
+    theta = jnp.asarray([0.3, 0.7])
+    assert float(jnp.abs(jax.grad(lambda t: loss(t))(theta)).max()) == 0.0
+    # the value itself is real (fractional, direction-dependent)
+    v1, v2 = float(loss(theta[:1])), float(loss(theta[1:]))
+    assert 0.0 < v1 < 1.0 and v1 != v2
+
+    monkeypatch.setenv("DREAMMAT_VIS_GRAD", "smooth")
+    g = jax.grad(lambda t: loss(t))(theta)
+    assert float(jnp.abs(g).max()) > 1e-4  # smooth mode restores the term

@@ -273,16 +273,21 @@ def controlnet_delta(ours, ref, model_dir=None):
     t = jnp.asarray([500.0])
     ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, ctx_dim))
 
+    # params/sample/ctx are ARGUMENTS, not closure captures: jit bakes
+    # captured arrays into the HLO as literal constants, so closing over
+    # the 360M-param ControlNet shipped a multi-GB compile proto that
+    # deterministically broke the tunneled remote_compile pipe (attempts
+    # 2-3 of the round-4 parity run died at exactly this call)
     @jax.jit
-    def respond(cond):
+    def respond(params, sample, ctx, cond):
         down, mid = cnet.apply(params, sample, t, ctx, cond, 1.0)
         return jnp.concatenate([jnp.ravel(x) for x in list(down) + [mid]])
 
     deltas = []
     for i in range(ours.shape[0]):
         for e in range(ours.shape[1]):
-            ra = respond(jnp.asarray(ours[i, e])[None])
-            rb = respond(jnp.asarray(ref[i, e])[None])
+            ra = respond(params, sample, ctx, jnp.asarray(ours[i, e])[None])
+            rb = respond(params, sample, ctx, jnp.asarray(ref[i, e])[None])
             denom = float(jnp.linalg.norm(rb)) + 1e-9
             deltas.append(float(jnp.linalg.norm(ra - rb)) / denom)
     return {"kind": kind, "rel_l2_mean": float(np.mean(deltas)),

@@ -299,6 +299,48 @@ def run(mesh_name, mesh_or_path, oct_resolutions, n_envs, res, mc_samples, seed=
                 )
                 mat.set_baked_visibility(None)  # restore exact mode
 
+                # --- mc_pixel: per-PIXEL baked tables (fixed-camera rig,
+                # one-time P x O^2 rays per view) — removes the barycentric
+                # spatial error of the per-vertex tables; the residual vs
+                # exact is directional binning only (ops/visibility.py::
+                # PixelVisibility).
+                pix = vis_lib.bake_pixel_visibility(
+                    ren.bvh, gb.fg_pos, gb.fg_normal, oct_res=oct_res,
+                    supersample=supersample,
+                )
+                rmses_px = {}
+                for mr in MR_COMBOS:
+                    m, r = mr
+                    mc = mat.shade_raytracing(
+                        gb.fg_pos, gb.fg_normal, gb.fg_viewdir,
+                        jnp.int32(env_id),
+                        jnp.full((P, 1), m), jnp.full((P, 1), r),
+                        jnp.full((P, 3), 0.6),
+                        jax.random.PRNGKey(7), is_train=False,
+                        mask=gb.fg_valid, vis_data=pix,
+                    )
+                    c = np.asarray(mc["color"])[valid]
+                    rmses_px[mr] = float(np.sqrt(np.mean((c - gt[mr]) ** 2)))
+
+                pix_sub = vis_lib.PixelVisibility(
+                    table=pix.table[:GP], oct_res=oct_res)
+
+                def loss_px(feats):
+                    out, _ = mat(
+                        sl(gb.fg_pos), feats, feats, sl(gb.fg_viewdir),
+                        sl(gb.fg_normal),
+                        jnp.int32(env_id), jax.random.PRNGKey(7),
+                        is_train=False, mask=sl(gb.fg_valid),
+                        vis_data=pix_sub,
+                    )
+                    return jnp.sum(out["color"] * W)
+
+                g_px = np.asarray(jax.grad(loss_px)(jnp.zeros((GP, 5))))
+                cos_px = float(
+                    np.sum(g_px * g_gt)
+                    / (np.linalg.norm(g_px) * np.linalg.norm(g_gt) + 1e-12)
+                )
+
                 row = {
                     "mesh": mesh_name, "env": env_id, "view": vi,
                     "oct_res": oct_res, "subdiv": subdiv,
@@ -309,6 +351,9 @@ def run(mesh_name, mesh_or_path, oct_resolutions, n_envs, res, mc_samples, seed=
                     "rmse_mc_mean": float(np.mean(list(rmses_mc.values()))),
                     "rmse_mc_max": float(np.max(list(rmses_mc.values()))),
                     "grad_cos_mc": cos_mc,
+                    "rmse_px_mean": float(np.mean(list(rmses_px.values()))),
+                    "rmse_px_max": float(np.max(list(rmses_px.values()))),
+                    "grad_cos_px": cos_px,
                     **{f"rmse_m{m}r{r}": v for (m, r), v in rmses.items()},
                 }
                 rows.append(row)
@@ -372,8 +417,9 @@ def main():
 
     # markdown summary: per (mesh, oct_res) averaged over envs/views
     print("\n| mesh | oct_res | RMSE tables | grad cos tables | RMSE mc_baked "
-          "| grad cos mc_baked | grad cos floor |")
-    print("|---|---|---|---|---|---|---|")
+          "| grad cos mc_baked | RMSE mc_pixel | grad cos mc_pixel "
+          "| grad cos floor |")
+    print("|---|---|---|---|---|---|---|---|---|")
     seen = {}
     for r in all_rows:
         k = (r["mesh"], r["oct_res"])
@@ -385,6 +431,8 @@ def main():
             f"{np.mean([r['grad_cos'] for r in rs]):.4f} | "
             f"{np.mean([r.get('rmse_mc_mean', float('nan')) for r in rs]):.4f} | "
             f"{np.mean([r.get('grad_cos_mc', float('nan')) for r in rs]):.4f} | "
+            f"{np.mean([r.get('rmse_px_mean', float('nan')) for r in rs]):.4f} | "
+            f"{np.mean([r.get('grad_cos_px', float('nan')) for r in rs]):.4f} | "
             f"{np.mean([r.get('grad_cos_floor', float('nan')) for r in rs]):.4f} |"
         )
 
