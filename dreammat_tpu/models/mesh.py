@@ -274,6 +274,7 @@ def load_mesh(
         v = v / np.abs(v).max() * scale
         v = (mesh2std @ v.T).T.astype(np.float32)
 
+    f = fix_winding_outward(v, f, name=path)
     vn = compute_vertex_normals(v, f)
     return Mesh(
         v_pos=jnp.asarray(v, dtype=jnp.float32),
@@ -282,6 +283,34 @@ def load_mesh(
         v_tex=jnp.asarray(vt) if vt is not None else None,
         t_tex_idx=jnp.asarray(ft, dtype=jnp.int32) if ft is not None else None,
     )
+
+
+def fix_winding_outward(v: np.ndarray, f: np.ndarray,
+                        name: str = "mesh") -> np.ndarray:
+    """Flip an inside-out mesh's face winding so normals point outward.
+
+    An inverted winding is silent and catastrophic downstream: every
+    visibility-bake origin (``pt + eps * nrm``) lands INSIDE the closed
+    surface, so every octahedral table row bakes to all-occluded and the
+    MC estimators sample their hemisphere around an inward normal (found
+    the hard way — see tools/quantify_fastpath.py::make_torus history,
+    ROADMAP #44). The divergence-theorem signed volume
+    ``sum(det[v0 v1 v2]) / 6`` is positive for CCW-outward winding on a
+    closed mesh, so its sign decides; near-zero volume (open sheets,
+    self-cancelling geometry) is left untouched. (The reference loads
+    through ``trimesh.load`` — dreammat_mesh.py:150 — whose processed
+    winding/normal handling this replaces.)"""
+    w = v.astype(np.float64)[f]                       # [F,3,3]
+    vol6 = float(np.sum(np.linalg.det(w)))
+    scale = float(np.abs(v).max()) or 1.0
+    if vol6 < -1e-6 * scale**3:
+        import logging
+
+        logging.getLogger("dreammat-tpu").warning(
+            "%s: negative signed volume (%.3g) - flipping face winding so "
+            "normals point outward", name, vol6 / 6.0)
+        return f[:, [0, 2, 1]]
+    return f
 
 
 # ---------------------------------------------------------------------------

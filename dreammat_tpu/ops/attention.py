@@ -42,28 +42,38 @@ NEG_INF = -1e30
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len: int,
                 block_k: int, scale: float):
     """One (batch*head, q_block) program: stream K/V blocks, online softmax.
-    Also writes the per-row logsumexp (saved for the backward kernels)."""
-    q = q_ref[...].astype(jnp.float32) * scale  # [bq, d]
+    Also writes the per-row logsumexp (saved for the backward kernels).
+
+    MXU matmuls take the NATIVE (bf16) operands with fp32 accumulation
+    (``preferred_element_type``) — the v5e MXU is bf16-native, so
+    up-casting q/k/p to fp32 before the dots (as this kernel did until
+    round 4) runs every matmul at a fraction of peak; the measured effect
+    on the hot 4096-token block was 1.08 → 0.75 ms. Softmax statistics
+    stay fp32; ``scale`` applies to the fp32 scores (exact for any D)."""
+    q = q_ref[...]  # [bq, d] native dtype
     bq, d = q.shape
     num_k_blocks = pl.cdiv(kv_len, block_k)
+    aligned = kv_len % block_k == 0
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)  # [bk, d]
-        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
+        k = k_ref[pl.ds(i * block_k, block_k), :]  # [bk, d] native dtype
+        v = v_ref[pl.ds(i * block_k, block_k), :]
+        s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk]
-        # mask out-of-range K rows (kv_len may not divide block_k)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        )  # [bq, bk] fp32
+        if not aligned:
+            # mask out-of-range K rows (kv_len may not divide block_k)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+            s = jnp.where(col < kv_len, s, NEG_INF)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
 
@@ -79,17 +89,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len: int,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref,
                    *, kv_len: int, block_k: int, scale: float):
-    """One (batch*head, q_block) program: dq for a block of q rows."""
-    q = q_ref[...].astype(jnp.float32)        # [bq, d]
-    do = do_ref[...].astype(jnp.float32)      # [bq, d]
+    """One (batch*head, q_block) program: dq for a block of q rows.
+    bf16 MXU operands + fp32 accumulation, like the forward kernel."""
+    q = q_ref[...]                            # [bq, d] native dtype
+    do = do_ref[...]                          # [bq, d]
     lse = lse_ref[...]                        # [bq, 1]
     dcap = dcap_ref[...]                      # [bq, 1]
     bq, d = q.shape
     num_k_blocks = pl.cdiv(kv_len, block_k)
 
     def body(i, acc):
-        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[pl.ds(i * block_k, block_k), :]
+        v = v_ref[pl.ds(i * block_k, block_k), :]
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -98,7 +109,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref,
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                                       # [bq, bk]
-        ds = p * (dp - dcap)
+        ds = (p * (dp - dcap)).astype(k.dtype)
         return acc + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -110,29 +121,31 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref,
 def _bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dcap_ref,
                     dk_ref, dv_ref, *, q_len: int, block_q: int, scale: float):
     """One (batch*head, k_block) program: dk and dv for a block of k rows.
-    Padded q rows carry lse=+inf so p == 0 there."""
-    k = k_ref[...].astype(jnp.float32)        # [bk, d]
-    v = v_ref[...].astype(jnp.float32)
+    Padded q rows carry lse=+inf so p == 0 there. bf16 MXU operands +
+    fp32 accumulation, like the forward kernel."""
+    k = k_ref[...]                            # [bk, d] native dtype
+    v = v_ref[...]
     bk, d = k.shape
     num_q_blocks = pl.cdiv(q_len, block_q)
 
     def body(i, carry):
         dk_acc, dv_acc = carry
-        q = q_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)   # [bq,d]
-        do = do_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[pl.ds(i * block_q, block_q), :]                       # [bq,d]
+        do = do_ref[pl.ds(i * block_q, block_q), :]
         lse = lse_ref[pl.ds(i * block_q, block_q), :]                   # [bq,1]
         dcap = dcap_ref[pl.ds(i * block_q, block_q), :]
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                                               # [bq,bk]
         p = jnp.exp(s - lse)
+        pb = p.astype(do.dtype)
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )                                                               # [bk,d]
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                                               # [bq,bk]
-        ds = p * (dp - dcap)
+        ds = (p * (dp - dcap)).astype(q.dtype)
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -271,25 +284,28 @@ def _flash_backward(q, k, v, o, lse, g, block_q: int = 256, block_k: int = 512,
     )
 
 
-def _fwd_blocks(n: int) -> tuple[int, int]:
-    """Forward block sizes from the hardware sweep (tools/tune_attention.py,
-    v5e, bf16, SD2.1 CFG-batch shapes, 2026-08-19): on the hot 4096-token
-    self-attention, block_q=1024 runs 0.67 ms vs 1.13 ms at the old
-    (256,512) default and 3.61 ms for XLA fused attention — fewer grid
-    programs amortize the full-K/V VMEM streaming better. At 1024 tokens
-    (1024,512) also edges the old default (0.14 vs 0.16 ms); shorter
-    sequences clamp block_q to the sequence, rounded up to the sublane
-    tile (16 covers bf16's 16x128) so a ragged N (e.g. 530) never hands
-    Mosaic a non-tileable block shape — the padding logic already covers
-    N not divisible by block_q."""
-    bq = min(1024, max(n, 128))
-    return -(-bq // 16) * 16, 512
+def _fwd_blocks(n: int, m: int | None = None) -> tuple[int, int]:
+    """Forward block sizes from the round-4 hardware re-sweep
+    (tools/tune_attention2.py — chained fori timing, bf16-MXU-operand
+    kernel, v5e, SD2.1 CFG-batch shapes, 2026-08-20): block_q=512 with
+    block_k covering the FULL K/V length (capped at 4096) wins both hot
+    self-attention shapes — (512,4096) 0.974 ms vs the round-3
+    (1024,512) pick's 1.116 ms at 4096 tokens, (512,1024) 0.119 vs
+    0.161 ms at 1024. With block_k == M the online softmax collapses to
+    a single pass (no rescale iterations); VMEM at (512,4096) is
+    ~13 MB (s fp32 8 MB + p bf16 4 MB + K/V 1 MB). The 4096 cap bounds
+    that footprint; _flash_forward clamps both blocks to the actual
+    sequence, and block_q rounds up to the 16-sublane tile so a ragged N
+    (e.g. 530) never hands Mosaic a non-tileable block shape."""
+    bq = min(512, max(n, 128))
+    bk = min(4096, max(m if m is not None else n, 128))
+    return -(-bq // 16) * 16, bk
 
 
 def flash_attention(q, k, v, block_q: int | None = None,
                     block_k: int | None = None, interpret: bool = False):
     """q [B,N,H,D], k/v [B,M,H,D] -> [B,N,H,D]. Non-causal, no mask."""
-    bq, bk = _fwd_blocks(q.shape[1])
+    bq, bk = _fwd_blocks(q.shape[1], k.shape[1])
     return _flash_forward(q, k, v, block_q=block_q or bq,
                           block_k=block_k or bk, interpret=interpret)[0]
 
@@ -300,7 +316,7 @@ def _flash_attention_diff(q, k, v, interpret: bool = False):
 
 
 def _flash_fwd_rule(q, k, v, interpret):
-    bq, bk = _fwd_blocks(q.shape[1])
+    bq, bk = _fwd_blocks(q.shape[1], k.shape[1])
     out, lse = _flash_forward(q, k, v, block_q=bq, block_k=bk,
                               interpret=interpret)
     return out, (q, k, v, out, lse)

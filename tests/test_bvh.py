@@ -181,3 +181,39 @@ def test_dense_pallas_matches_bruteforce():
         v = np.asarray(out["v"])[:, None]
         return (1 - u - v) * vp[tri[:, 0]] + u * vp[tri[:, 1]] + v * vp[tri[:, 2]]
     assert np.allclose(pos(got)[hit], pos(ref)[hit], atol=2e-3)
+
+
+def test_fix_winding_outward():
+    """Inside-out closed meshes are flipped at load; open sheets and
+    correct meshes are untouched (the inverted-torus bug: ROADMAP #44)."""
+    m = mesh_lib.make_icosphere(subdiv=1)
+    v = np.asarray(m.v_pos, np.float64)
+    f = np.asarray(m.t_pos_idx)
+    # correct winding: unchanged
+    f_ok = mesh_lib.fix_winding_outward(v, f)
+    assert np.array_equal(f_ok, f)
+    # inverted winding: flipped back, and the repaired normals agree with
+    # the radial direction again
+    f_in = f[:, [0, 2, 1]]
+    f_fix = mesh_lib.fix_winding_outward(v, f_in)
+    assert np.array_equal(np.sort(f_fix, axis=1), np.sort(f_in, axis=1))
+    vn = mesh_lib.compute_vertex_normals(v.astype(np.float32), f_fix)
+    cos = (vn * v).sum(-1) / np.linalg.norm(v, axis=-1)
+    assert cos.min() > 0.9
+    # open sheet (zero signed volume): left alone even with "inward" z
+    vs = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    fs = np.asarray([[0, 2, 1]])
+    assert np.array_equal(mesh_lib.fix_winding_outward(vs, fs), fs)
+
+
+def test_load_mesh_flips_inverted_obj(tmp_path):
+    p = tmp_path / "inv.obj"
+    # tetrahedron with all faces wound INWARD
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\n"
+        "f 1 2 3\nf 1 4 2\nf 1 3 4\nf 2 4 3\n"
+    )
+    m = mesh_lib.load_mesh(str(p), scale=0.8)
+    v = np.asarray(m.v_pos, np.float64)
+    w = v[np.asarray(m.t_pos_idx)]
+    assert np.sum(np.linalg.det(w)) > 0  # outward after load

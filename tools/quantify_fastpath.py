@@ -82,15 +82,44 @@ def make_torus(R=0.7, r=0.28, nu=48, nv=24):
             ])
     for i in range(nu):
         for j in range(nv):
+            # winding chosen so area-weighted vertex normals point OUTWARD
+            # (major x minor tangent order). The pre-round-4 winding was
+            # inverted: every vertex normal pointed INTO the tube, so every
+            # visibility-bake origin (pt + eps*nrm) sat INSIDE the closed
+            # surface and all sphere directions hit — tables all-zero, and
+            # the exact estimator sampled its hemisphere around an inward
+            # normal. Every historical "torus" row measured an inside-out
+            # torus (see ROADMAP #44).
             a = i * nv + j
-            b = i * nv + (j + 1) % nv
-            c = ((i + 1) % nu) * nv + j
-            d = ((i + 1) % nu) * nv + (j + 1) % nv
-            f += [[a, b, c], [b, d, c]]
+            b = ((i + 1) % nu) * nv + j
+            c = ((i + 1) % nu) * nv + (j + 1) % nv
+            d = i * nv + (j + 1) % nv
+            f += [[a, b, c], [a, c, d]]
     v = np.asarray(v, np.float32)
     f = np.asarray(f, np.int64)
     nrm = compute_vertex_normals(v, f)
-    return Mesh(jnp.asarray(v), jnp.asarray(f, jnp.int32), jnp.asarray(nrm))
+    m = Mesh(jnp.asarray(v), jnp.asarray(f, jnp.int32), jnp.asarray(nrm))
+    assert_outward_normals(m, "torus")
+    return m
+
+
+def assert_outward_normals(mesh, name, frac=0.5):
+    """Benchmark-mesh orientation guard: cast a ray along each vertex
+    normal; on a correctly-oriented mesh the majority must escape (the
+    torus' inner ring legitimately re-hits the far wall, so the bar is
+    0.5, not ~1.0 — an inside-out mesh traps ~100% of them, which
+    silently turns every visibility table to zero; the bug this guard
+    exists to catch)."""
+    from dreammat_tpu.ops import bvh as bvh_lib
+    import jax.numpy as jnp
+
+    bvh = bvh_lib.build_bvh(mesh.v_pos, mesh.t_pos_idx)
+    o = mesh.v_pos + mesh.v_nrm * 1e-3
+    out = bvh_lib.cast_rays_chunked(bvh, o, mesh.v_nrm, chunk=1 << 16)
+    escaped = float(1.0 - jnp.mean(out["hit"].astype(jnp.float32)))
+    assert escaped > frac, (
+        f"{name}: only {escaped:.1%} of normal rays escape - normals look "
+        f"inward/inverted; visibility bakes would be all-zero")
 
 
 MR_COMBOS = [(0.0, 0.3), (0.9, 0.5), (0.5, 0.1), (0.0, 0.9)]
