@@ -153,7 +153,7 @@ def main():
     from dreammat_tpu.utils import hw
 
     if not small and hw.is_tpu_backend():
-        peak_tflops = 197.0  # bf16 peak per chip, TPU v5e
+        peak_tflops = hw.peak_bf16_tflops()  # per-generation, v5e fallback
         try:
             c = denoise_step.lower(
                 up, vp, cp, rgb_in, cond_in, ctx_in, keys[0], zero
@@ -161,8 +161,14 @@ def main():
             if isinstance(c, list):
                 c = c[0]
             step_tflop = float(c.get("flops", 0.0)) / 1e12
-        except Exception:
+        except Exception as e:
             step_tflop = 0.0
+            print(f"BENCH WARNING: cost_analysis unavailable ({e!r}) — the "
+                  f">100%-MFU self-check is DISABLED for this run; treat the "
+                  f"number with suspicion.", file=sys.stderr)
+        if step_tflop == 0.0:
+            print("BENCH WARNING: step FLOP count is 0 — MFU self-check "
+                  "no-ops.", file=sys.stderr)
         implied_mfu = steps_per_sec * step_tflop / peak_tflops
         if implied_mfu > 1.0:
             print(

@@ -98,36 +98,47 @@ def resize_with_pad(img: np.ndarray, height: int, width: int):
     return out, scale
 
 
-def similarity_from_cameras(c2w: np.ndarray, radius: float = 1.0):
-    """Normalize an OpenCV camera cloud (:132-190): align mean camera-up
-    with +z, recenter on the median closest-point of center rays, rescale
-    to median distance = radius."""
-    t = c2w[:, :3, 3]
-    R = c2w[:, :3, :3]
-    ups = np.sum(R * np.array([0, -1.0, 0]), axis=-1)
-    world_up = ups.mean(axis=0)
-    world_up /= np.linalg.norm(world_up) + 1e-12
-    up_cam = np.array([0.0, 0.0, 1.0])
-    c = float((up_cam * world_up).sum())
-    cross = np.cross(world_up, up_cam)
-    skew = np.array([
-        [0.0, -cross[2], cross[1]],
-        [cross[2], 0.0, -cross[0]],
-        [-cross[1], cross[0], 0.0],
+def _rotation_between(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Smallest rotation matrix taking unit vector ``a`` onto unit ``b``
+    (Rodrigues about axis a x b). Antiparallel inputs fall back to a 180
+    degree flip about x (any axis perpendicular to a works up to symmetry)."""
+    v = np.cross(a, b)
+    s2 = float(v @ v)
+    c = float(a @ b)
+    if s2 < 1e-24:
+        return np.eye(3) if c > 0.0 else np.diag([-1.0, 1.0, 1.0])
+    vx = np.array([
+        [0.0, -v[2], v[1]],
+        [v[2], 0.0, -v[0]],
+        [-v[1], v[0], 0.0],
     ])
-    if c > -1:
-        R_align = np.eye(3) + skew + (skew @ skew) / (1 + c)
-    else:
-        R_align = np.diag([-1.0, 1.0, 1.0])
-    R2 = R_align @ R
-    fwds = np.sum(R2 * np.array([0.0, 0.0, 1.0]), axis=-1)
-    t2 = (R_align @ t[..., None])[..., 0]
-    nearest = t2 + (fwds * -t2).sum(-1)[:, None] * fwds
-    translate = -np.median(nearest, axis=0)
+    return np.eye(3) + vx + vx @ vx * ((1.0 - c) / s2)
+
+
+def similarity_from_cameras(c2w: np.ndarray, radius: float = 1.0):
+    """World-normalizing similarity for an OpenCV-convention camera cloud.
+
+    Same contract as the reference's vendored plenoxels helper
+    (threestudio co3d.py:132-190), derived independently: (1) rotate the
+    world so the mean camera "up" (-y column of each c2w rotation) points
+    along +z; (2) translate so the median over cameras of the foot of the
+    perpendicular from the origin onto each optical axis lands at the
+    origin; (3) scale so the median camera distance equals ``radius``.
+    Returns (4x4 rigid transform, scalar scale).
+    """
+    rot = c2w[:, :3, :3]
+    pos = c2w[:, :3, 3]
+    mean_up = -rot[:, :, 1].mean(axis=0)
+    mean_up /= np.linalg.norm(mean_up) + 1e-12
+    R_align = _rotation_between(mean_up, np.array([0.0, 0.0, 1.0]))
+    pos = pos @ R_align.T
+    fwd = rot[:, :, 2] @ R_align.T  # optical axes in the aligned world
+    foot = pos - (pos * fwd).sum(axis=1, keepdims=True) * fwd
+    center = np.median(foot, axis=0)
     transform = np.eye(4)
-    transform[:3, 3] = translate
     transform[:3, :3] = R_align
-    scale = radius / np.median(np.linalg.norm(t2 + translate, axis=-1))
+    transform[:3, 3] = -center
+    scale = radius / np.median(np.linalg.norm(pos - center, axis=1))
     return transform, scale
 
 

@@ -160,7 +160,20 @@ class RandomCameraDataModule(BaseObject):
         if check == "auto":
             baked = getattr(self.material, "baked_visibility", None)
             if baked is None:
-                check = False
+                # no baked table to probe occlusion with (visibility_mode
+                # raytrace/none). If prefiltered tables are active anyway,
+                # auto must not silently skip the fidelity check — run it
+                # unconditionally instead (ADVICE r4).
+                check = (
+                    self.data.table_spec is not None
+                    and getattr(self.material.cfg, "use_prefiltered", False)
+                )
+                if check:
+                    dreammat_tpu.info(
+                        "fastpath_check=auto: no baked visibility to probe "
+                        "self-occlusion with — running the fidelity check "
+                        "unconditionally",
+                    )
             else:
                 from dreammat_tpu.ops.visibility import self_occlusion_fraction
 
@@ -192,13 +205,23 @@ class RandomCameraDataModule(BaseObject):
             if rmse > cfg.fastpath_rmse_threshold or (
                 gcos is not None and gcos < cfg.fastpath_grad_cos_threshold
             ):
+                # name the estimator training will ACTUALLY fall back to —
+                # it depends on the material's visibility source, not always
+                # "exact MC" (VERDICT r4 weak #3 / material.py dispatch)
+                if getattr(self.material, "baked_visibility", None) is not None:
+                    fallback = ("per-sample MC with baked-visibility lookups "
+                                "(mc_baked)")
+                elif getattr(self.material, "ray_trace_fun", None) is not None:
+                    fallback = "exact MC with per-step BVH shadow rays"
+                else:
+                    fallback = "MC without shadow visibility"
                 dreammat_tpu.warn(
                     "fast-path check failed (color RMSE %.4f vs <= %.4f, "
                     "grad-cos %s vs >= %.2f): dropping prefiltered tables, "
-                    "training will shade through the exact MC estimator",
+                    "training will shade through %s",
                     rmse, cfg.fastpath_rmse_threshold,
                     "n/a" if gcos is None else f"{gcos:.3f}",
-                    cfg.fastpath_grad_cos_threshold,
+                    cfg.fastpath_grad_cos_threshold, fallback,
                 )
                 self.data.table_spec = None
             else:

@@ -49,23 +49,48 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len: int,
     up-casting q/k/p to fp32 before the dots (as this kernel did until
     round 4) runs every matmul at a fraction of peak; the measured effect
     on the hot 4096-token block was 1.08 → 0.75 ms. Softmax statistics
-    stay fp32; ``scale`` applies to the fp32 scores (exact for any D)."""
+    stay fp32. ``scale`` is folded into q BEFORE the dot ([bq,d] VPU work
+    instead of a full [bq,bk] fp32 pass per k block; exact when scale is a
+    power of two, i.e. every D = 4^k head — D=64 here). When one k block
+    covers the whole K/V (the tuned configuration for every SD2.1
+    self-attention shape) the online-softmax carry is skipped entirely:
+    one dot -> one max -> one exp -> one dot."""
     q = q_ref[...]  # [bq, d] native dtype
     bq, d = q.shape
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
     num_k_blocks = pl.cdiv(kv_len, block_k)
     aligned = kv_len % block_k == 0
 
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
+    def scores(i):
         k = k_ref[pl.ds(i * block_k, block_k), :]  # [bk, d] native dtype
-        v = v_ref[pl.ds(i * block_k, block_k), :]
-        s = scale * jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        s = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, bk] fp32
         if not aligned:
             # mask out-of-range K rows (kv_len may not divide block_k)
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
             s = jnp.where(col < kv_len, s, NEG_INF)
+        return s
+
+    if num_k_blocks == 1:
+        # single-pass: no running (m, l) carry, no rescale passes
+        s = scores(0)
+        v = v_ref[pl.ds(0, block_k), :]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[...] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        lse_ref[...] = m + jnp.log(jnp.maximum(l, 1e-30))
+        return
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        s = scores(i)
+        v = v_ref[pl.ds(i * block_k, block_k), :]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
@@ -174,8 +199,11 @@ def _flash_forward(q, k, v, block_q: int = 256, block_k: int = 512,
     B, N, H, D = q.shape
     M = k.shape[1]
     scale = 1.0 / np.sqrt(D)
-    block_q = min(block_q, max(N, 128))
-    block_k = min(block_k, max(M, 128))
+    # clamp to the sequence, then re-round up to the 16-sublane tile: the
+    # clamp alone re-introduces ragged blocks for direct calls with
+    # 128 < N < block_q and N % 16 != 0 (padding below absorbs block > N)
+    block_q = -(-min(block_q, max(N, 128)) // 16) * 16
+    block_k = -(-min(block_k, max(M, 128)) // 16) * 16
 
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     pad_n = (-N) % block_q
@@ -215,8 +243,9 @@ def _flash_backward(q, k, v, o, lse, g, block_q: int = 256, block_k: int = 512,
     B, N, H, D = q.shape
     M = k.shape[1]
     scale = 1.0 / np.sqrt(D)
-    block_q = min(block_q, max(N, 128))
-    block_k = min(block_k, max(M, 128))
+    # same clamp-then-round-to-16 as _flash_forward (see comment there)
+    block_q = -(-min(block_q, max(N, 128)) // 16) * 16
+    block_k = -(-min(block_k, max(M, 128)) // 16) * 16
 
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     of, gf = _fold(o), _fold(g)
@@ -304,7 +333,12 @@ def _fwd_blocks(n: int, m: int | None = None) -> tuple[int, int]:
 
 def flash_attention(q, k, v, block_q: int | None = None,
                     block_k: int | None = None, interpret: bool = False):
-    """q [B,N,H,D], k/v [B,M,H,D] -> [B,N,H,D]. Non-causal, no mask."""
+    """q [B,N,H,D], k/v [B,M,H,D] -> [B,N,H,D]. Non-causal, no mask.
+
+    (A transpose-free [B,N,H,D]-native grid was tried in round 5 and
+    rejected by Mosaic: with heads in the trailing-two dims the head axis
+    must be 8-sublane-tileable, and H=5 is not; the fold transposes cost
+    ~80 us/call at the hot shape — not worth a lane-sliced rewrite.)"""
     bq, bk = _fwd_blocks(q.shape[1], k.shape[1])
     return _flash_forward(q, k, v, block_q=block_q or bq,
                           block_k=block_k or bk, interpret=interpret)[0]

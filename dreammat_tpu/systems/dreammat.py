@@ -215,10 +215,15 @@ class DreamMat(BaseObject):
             CSVLogger, MultiLogger, ProgressWriter, TSVEventLogger, WandbLogger,
         )
 
+        from dreammat_tpu.utils.tboard import TensorBoardLogger
+
         wandb_cfg = dict(self.cfg.loggers.get("wandb", {})) if self.cfg.loggers else {}
         metric_logger = MultiLogger(
             CSVLogger(os.path.join(trial_dir, "logs")),
             TSVEventLogger(os.path.join(trial_dir, "logs")),
+            # reference launch.py:162-165 creates TensorBoard+CSV loggers;
+            # tboard.py hand-encodes the event protos (no tb dependency)
+            TensorBoardLogger(os.path.join(trial_dir, "tb")),
             WandbLogger(
                 wandb_cfg.get("project", "dreammat_tpu"),
                 enable=wandb_cfg.get("enable", False),

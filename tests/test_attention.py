@@ -20,6 +20,8 @@ SHAPES = [
     (2, 300, 300, 4, 64),    # padding on both axes
     (1, 256, 77, 4, 64),     # cross-attn (kv shorter than a block)
     (1, 64, 64, 1, 32),      # small everything
+    (1, 200, 200, 2, 64),    # ADVICE r4: 128<N<block_q, N%16!=0 — the clamp
+                             # must re-round block_q to a 16-sublane multiple
 ]
 
 

@@ -166,6 +166,42 @@ def test_queue_bounded_and_fifo():
     _reset_state()
 
 
+def test_submit_never_jumps_queue():
+    """ADVICE r4 (medium): when the slot freed up but earlier jobs are still
+    queued, a new POST takes its place BEHIND them — the queue head starts."""
+    _reset_state()
+    webapp.submit_job({"cmd": ["a"], "trial_dir": "t"}, popen=_FakeProc)
+    webapp.submit_job({"cmd": ["b"], "trial_dir": "t"}, popen=_FakeProc)
+    with webapp.LOCK:
+        webapp.STATE["proc"].finish(0)  # slot free, but "b" is queued
+    out = webapp.submit_job({"cmd": ["c"], "trial_dir": "t"}, popen=_FakeProc)
+    assert out == ("queued", 1)  # c waits behind b
+    with webapp.LOCK:
+        assert webapp.STATE["proc"].cmd == ["b"]  # head of queue started
+        assert [j["cmd"] for j in webapp.STATE["queue"]] == [["c"]]
+    _reset_state()
+
+
+def test_watchdog_pumps_queue_on_exit():
+    """ADVICE r4 (medium): queued jobs advance when the child exits even if
+    no browser tab is polling status_text()."""
+    _reset_state()
+    webapp.submit_job({"cmd": ["first"], "trial_dir": "/tmp/t1"},
+                      popen=_FakeProc)
+    webapp.submit_job({"cmd": ["second"], "trial_dir": "/tmp/t2"},
+                      popen=_FakeProc)
+    with webapp.LOCK:
+        proc = webapp.STATE["proc"]
+    proc.finish(0)
+    # drive the watchdog loop directly (the spawned thread uses 5s polls)
+    webapp._watchdog_loop(proc, "/tmp/t1", hard_timeout=0, stale_timeout=0,
+                          alive_timeout=0, interval=0.01, popen=_FakeProc)
+    with webapp.LOCK:
+        assert webapp.STATE["proc"].cmd == ["second"]
+        assert webapp.STATE["queue"] == []
+    _reset_state()
+
+
 def test_auth_token():
     """Requests carry the token via bearer header, query, or form; missing
     or wrong tokens are refused (no token configured = open)."""

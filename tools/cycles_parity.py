@@ -206,20 +206,39 @@ def mc_reference_stack(ren, mat, cam, n_envs, res, cond_res, tmp_dir,
 
 
 def residual_table(ours, ref):
-    """Per-group MAE/RMSE over foreground (ref depth > 0)."""
+    """Per-group MAE/RMSE over foreground (ref depth > 0), plus the
+    per-view RMSE spread (min/max across measured views) so 'more views
+    add samples, not failure modes' is shown, not asserted (VERDICT r4 #8):
+    a tight spread means the strided subset already samples the full
+    residual distribution."""
     fg = ref[..., 0] > 1e-3
     rows = {}
+    n_views = ours.shape[0]
     for name, (a, b) in GROUPS.items():
         d = (ours[..., a:b] - ref[..., a:b])[fg]
+        view_rmse = []
+        for v in range(n_views):
+            dv = (ours[v, ..., a:b] - ref[v, ..., a:b])[fg[v]]
+            if dv.size:
+                view_rmse.append(float(np.sqrt((dv ** 2).mean())))
         rows[name] = {
             "mae": float(np.abs(d).mean()),
             "rmse": float(np.sqrt((d ** 2).mean())),
+            "rmse_view_min": min(view_rmse) if view_rmse else None,
+            "rmse_view_max": max(view_rmse) if view_rmse else None,
         }
     return rows
 
 
-def controlnet_delta(ours, ref, model_dir=None):
-    """Frozen-ControlNet response delta between the two stacks."""
+def controlnet_delta(ours, ref, model_dir=None, seeds=(0, 1, 2)):
+    """Frozen-ControlNet response delta between the two stacks.
+
+    Without trained weights (none exist in this image) the net is the real
+    SD2.1 architecture at RANDOM init; since a single random net's
+    sensitivity pattern is arbitrary, the delta is measured at ``seeds``
+    independent inits and the per-seed spread is reported — a tight spread
+    says the envelope is a property of the architecture's response to these
+    condition stacks, not of one lucky draw (VERDICT r4 next #3)."""
     import jax
     import jax.numpy as jnp
 
@@ -241,7 +260,8 @@ def controlnet_delta(ours, ref, model_dir=None):
         )
         ckpt = convert.find_checkpoint_file(os.path.join(model_dir, "controlnet"))
         sd = convert.load_torch_state_dict(ckpt)
-        params = convert.torch_to_flax_params(sd, tpl, "controlnet", strict=True)
+        param_sets = [(None, convert.torch_to_flax_params(
+            sd, tpl, "controlnet", strict=True))]
         kind = "real-sd21"
     elif H >= 64:
         # random weights at the REAL architecture: stem factor 8 keeps the
@@ -251,22 +271,30 @@ def controlnet_delta(ours, ref, model_dir=None):
         cnet = ControlNet(ccfg, dtype=jnp.bfloat16)
         lat = H // 8
         ctx_dim = 1024
-        params = convert.fast_random_init(
-            jax.random.PRNGKey(0),
-            lambda: cnet.init(jax.random.PRNGKey(0), jnp.zeros((1, lat, lat, 4)),
-                              jnp.zeros((1,)), jnp.zeros((1, 4, ctx_dim)),
-                              jnp.zeros((1, H, H, 22))),
-        )
+        param_sets = [
+            (s, convert.fast_random_init(
+                jax.random.PRNGKey(s),
+                lambda: cnet.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, lat, lat, 4)),
+                                  jnp.zeros((1,)), jnp.zeros((1, 4, ctx_dim)),
+                                  jnp.zeros((1, H, H, 22))),
+            ))
+            for s in seeds
+        ]
         kind = "sd21-random"
     else:
         ccfg = ControlNetConfig.tiny()
         cnet = ControlNet(ccfg)
         lat = H // 2
         ctx_dim = ccfg.unet.cross_attention_dim
-        params = cnet.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, lat, lat, 4)), jnp.zeros((1,)),
-            jnp.zeros((1, 4, ctx_dim)), jnp.zeros((1, H, H, 22)),
-        )
+        param_sets = [
+            (s, cnet.init(
+                jax.random.PRNGKey(s), jnp.zeros((1, lat, lat, 4)),
+                jnp.zeros((1,)), jnp.zeros((1, 4, ctx_dim)),
+                jnp.zeros((1, H, H, 22)),
+            ))
+            for s in seeds
+        ]
         kind = "tiny-random"
 
     sample = jax.random.normal(jax.random.PRNGKey(1), (1, lat, lat, 4))
@@ -283,15 +311,27 @@ def controlnet_delta(ours, ref, model_dir=None):
         down, mid = cnet.apply(params, sample, t, ctx, cond, 1.0)
         return jnp.concatenate([jnp.ravel(x) for x in list(down) + [mid]])
 
-    deltas = []
-    for i in range(ours.shape[0]):
-        for e in range(ours.shape[1]):
-            ra = respond(params, sample, ctx, jnp.asarray(ours[i, e])[None])
-            rb = respond(params, sample, ctx, jnp.asarray(ref[i, e])[None])
-            denom = float(jnp.linalg.norm(rb)) + 1e-9
-            deltas.append(float(jnp.linalg.norm(ra - rb)) / denom)
-    return {"kind": kind, "rel_l2_mean": float(np.mean(deltas)),
-            "rel_l2_max": float(np.max(deltas))}
+    per_seed = []
+    for seed, params in param_sets:
+        deltas = []
+        for i in range(ours.shape[0]):
+            for e in range(ours.shape[1]):
+                ra = respond(params, sample, ctx, jnp.asarray(ours[i, e])[None])
+                rb = respond(params, sample, ctx, jnp.asarray(ref[i, e])[None])
+                denom = float(jnp.linalg.norm(rb)) + 1e-9
+                deltas.append(float(jnp.linalg.norm(ra - rb)) / denom)
+        per_seed.append({
+            "seed": seed,
+            "rel_l2_mean": float(np.mean(deltas)),
+            "rel_l2_max": float(np.max(deltas)),
+        })
+    return {
+        "kind": kind,
+        # aggregate: worst seed's mean and max — the honest envelope
+        "rel_l2_mean": max(r["rel_l2_mean"] for r in per_seed),
+        "rel_l2_max": max(r["rel_l2_max"] for r in per_seed),
+        "per_seed": per_seed,
+    }
 
 
 def main():
@@ -395,12 +435,17 @@ def main():
                 fh.write(json.dumps(row) + "\n")
 
         print(f"\n# {os.path.basename(args.mesh)} vs {src} (env_scale={env_scale})")
-        print("| channel group | MAE | RMSE |")
-        print("|---|---|---|")
+        print("| channel group | MAE | RMSE | per-view RMSE min..max |")
+        print("|---|---|---|---|")
         for name, r in table.items():
-            print(f"| {name} | {r['mae']:.4f} | {r['rmse']:.4f} |")
-        print(f"\nControlNet ({cn['kind']}) response rel-L2: "
+            spread = (f"{r['rmse_view_min']:.4f}..{r['rmse_view_max']:.4f}"
+                      if r.get("rmse_view_min") is not None else "n/a")
+            print(f"| {name} | {r['mae']:.4f} | {r['rmse']:.4f} | {spread} |")
+        print(f"\nControlNet ({cn['kind']}) response rel-L2 (worst seed): "
               f"mean {cn['rel_l2_mean']:.4f}, max {cn['rel_l2_max']:.4f}")
+        for r in cn.get("per_seed", []):
+            print(f"  seed {r['seed']}: mean {r['rel_l2_mean']:.4f}, "
+                  f"max {r['rel_l2_max']:.4f}")
 
 
 if __name__ == "__main__":

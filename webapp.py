@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import hmac
 import html
 import json
 import os
@@ -46,14 +47,22 @@ AUTH_TOKEN = os.environ.get("DREAMMAT_WEBAPP_TOKEN") or None
 
 def authorized(headers, query, form=None) -> bool:
     """True when no token is configured, or the request carries it via
-    ``Authorization: Bearer <token>``, ``?token=``, or a form field."""
+    ``Authorization: Bearer <token>`` (preferred), ``?token=``, or a form
+    field. Comparisons are constant-time. NOTE: ``?token=`` exists only so
+    <img> previews work without headers; query-string secrets leak into
+    access logs / browser history — use the Bearer header from scripts."""
     if AUTH_TOKEN is None:
         return True
+
+    def _eq(candidate) -> bool:
+        return isinstance(candidate, str) and hmac.compare_digest(
+            candidate.encode(), AUTH_TOKEN.encode())
+
     auth = headers.get("Authorization", "") if hasattr(headers, "get") else ""
-    if auth == f"Bearer {AUTH_TOKEN}":
+    if auth.startswith("Bearer ") and _eq(auth[len("Bearer "):]):
         return True
     for source in (query, form):
-        if source and source.get("token", [None])[0] == AUTH_TOKEN:
+        if source and _eq(source.get("token", [None])[0]):
             return True
     return False
 
@@ -68,19 +77,30 @@ def _start_job_locked(job, popen):
     STATE["killed"] = None
     STATE["last_poll"] = time.time()
     threading.Thread(
-        target=_watchdog_loop, args=(proc, job["trial_dir"]), daemon=True
+        target=_watchdog_loop, args=(proc, job["trial_dir"]),
+        kwargs={"popen": popen}, daemon=True,
     ).start()
 
 
 def submit_job(job, popen=subprocess.Popen):
     """Submit a job dict ({"cmd", "trial_dir"}): starts it if the slot is
-    free, else queues it (bounded FIFO). Returns ("started", None),
-    ("queued", position) or ("rejected", reason)."""
+    free AND no earlier job is waiting, else queues it (bounded FIFO — a
+    new POST never jumps ahead of already-queued jobs). Returns
+    ("started", None), ("queued", position) or ("rejected", reason)."""
     with LOCK:
-        if STATE["proc"] is None or STATE["proc"].poll() is not None:
+        slot_free = STATE["proc"] is None or STATE["proc"].poll() is not None
+        if slot_free:
             _retire_finished_locked()
-            _start_job_locked(job, popen)
-            return ("started", None)
+            if not STATE["queue"]:
+                _start_job_locked(job, popen)
+                return ("started", None)
+            # FIFO: the head of the queue takes the free slot; this
+            # submission waits its turn behind the rest
+            if len(STATE["queue"]) >= MAX_QUEUE:
+                return ("rejected", f"queue full ({MAX_QUEUE} pending)")
+            STATE["queue"].append(job)
+            _start_job_locked(STATE["queue"].pop(0), popen)
+            return ("queued", len(STATE["queue"]))
         if len(STATE["queue"]) >= MAX_QUEUE:
             return ("rejected", f"queue full ({MAX_QUEUE} pending)")
         STATE["queue"].append(job)
@@ -148,7 +168,8 @@ def watchdog_reason(now, started, progress_mtime, last_poll,
 
 
 def _watchdog_loop(proc, trial_dir, hard_timeout=None, stale_timeout=None,
-                   alive_timeout=None, interval=WATCH_INTERVAL):
+                   alive_timeout=None, interval=WATCH_INTERVAL,
+                   popen=subprocess.Popen):
     progress_path = os.path.join(trial_dir, "progress")
     while proc.poll() is None:
         now = time.time()
@@ -164,8 +185,11 @@ def _watchdog_loop(proc, trial_dir, hard_timeout=None, stale_timeout=None,
             with LOCK:
                 if STATE["proc"] is proc:
                     STATE["killed"] = reason
-            return
+            break
         time.sleep(interval)
+    # the child is gone either way: advance the queue now so progress does
+    # not depend on a browser tab still polling status_text()
+    pump_queue(popen=popen)
 
 PAGE = """<!doctype html><html><head><title>dreammat-tpu</title>
 <style>body{{font-family:sans-serif;max-width:720px;margin:2em auto}}
