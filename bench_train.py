@@ -33,12 +33,16 @@ def main():
                     help="disable static field maps entirely (dynamic "
                     "scatter backward baseline)")
     ap.add_argument("--regime", default="tables",
-                    choices=["tables", "mc-baked", "mc-raytrace"],
+                    choices=["tables", "mc-baked", "mc-pixel", "mc-raytrace",
+                             "hybrid8"],
                     help="shading regime: 'tables' = prefiltered light "
                     "tables (default fast path); 'mc-baked' = per-sample MC "
-                    "estimator with baked-visibility lookups (what the "
-                    "fastpath gate falls back to); 'mc-raytrace' = per-ray "
-                    "BVH visibility (reference-parity exact estimator)")
+                    "estimator with baked per-VERTEX visibility lookups; "
+                    "'mc-pixel' = per-sample MC with baked per-PIXEL tables "
+                    "(the gate's highest-fidelity fallback); 'mc-raytrace' "
+                    "= per-ray BVH visibility (reference-parity exact "
+                    "estimator); 'hybrid8' = tables with every 8th step "
+                    "through the MC estimator")
     args = ap.parse_args()
 
     import jax
@@ -97,6 +101,12 @@ def main():
             "static_field_maps": not args.no_static_maps,
             "static_maps_budget_mb": args.static_budget_mb,
             "static_maps_rotate": args.rotate,
+            "visibility_pixel_tables": args.regime == "mc-pixel",
+            "hybrid_mc_every": 8 if args.regime == "hybrid8" else 0,
+            # the regime is selected EXPLICITLY here; without this the auto
+            # gate tripped on apple (abs RMSE 0.0996 > 0.08) and silently
+            # turned the 'tables' row into an mc_baked measurement
+            "fastpath_check": False,
         },
         system.renderer, system.material,
     )
@@ -104,10 +114,11 @@ def main():
     dm.setup()
     t_pre = time.time() - t0
     dreammat_tpu.info("prerender (%d views): %.1fs", args.views, t_pre)
-    if args.regime != "tables" and dm.data is not None:
+    if args.regime not in ("tables", "hybrid8") and dm.data is not None:
         # drop the prefiltered light tables: every step shades through the
-        # MC estimator (visibility from the baked table, or BVH rays in
-        # mc-raytrace) — the regime the fastpath gate switches to
+        # MC estimator (visibility from the baked per-vertex/per-pixel
+        # table, or BVH rays in mc-raytrace) — the regimes the fastpath
+        # gate switches to
         dm.data.table_spec = None
 
     state = system.fit(

@@ -76,7 +76,12 @@ class RandomCameraDataModule(BaseObject):
         # true/false force it on/off.
         fastpath_check: Any = "auto"
         fastpath_occlusion_threshold: float = 0.01
-        fastpath_rmse_threshold: float = 0.08
+        # RELATIVE color RMSE (residual / exact-image RMS) — round-5 change:
+        # the old absolute threshold scaled with environment_scale and
+        # tripped on apple at a ~8% relative deviation. The gradient cosine
+        # below is the primary training-signal gate; this is the image-level
+        # sanity cap.
+        fastpath_rmse_threshold: float = 0.20
         # gradient-space check (runs with fastpath_check): cosine between
         # the fast-path and exact-MC material-feature gradients on a pixel
         # subset. Separates cleanly: smooth geometry ~0.93, self-occluding
@@ -90,6 +95,15 @@ class RandomCameraDataModule(BaseObject):
         # vs the 0.63 MC noise floor — see README fast-path table) at the
         # cost of (slow_step/fast_step)/N overhead. 0 = off.
         hybrid_mc_every: int = 0
+        # per-PIXEL baked visibility for the MC estimator ("mc_pixel"):
+        # bake one [P, oct^2] table per fixed view at setup and shade the
+        # train step through it instead of the per-vertex barycentric
+        # lookup — removes the spatial-interpolation error that
+        # decorrelates mc_baked gradients on self-occluding geometry
+        # (ops/visibility.py PixelVisibility). Costs
+        # views * P * oct^2 * 2 bytes HBM one-time; intended together with
+        # table_spec=None (the gate's highest-fidelity fallback).
+        visibility_pixel_tables: bool = False
         # precompute per-view sort maps so the field backward is scatter-free
         # (~14x faster table grads on TPU); costs ~100-180 MB HBM per view,
         # so only `static_maps_budget_mb` worth of views are device-resident
@@ -194,10 +208,12 @@ class RandomCameraDataModule(BaseObject):
                 self.renderer, self.material, self.data
             )
             gcos = None
-            if cfg.fastpath_grad_cos_threshold > 0 and rmse <= cfg.fastpath_rmse_threshold:
-                # color RMSE alone misses the torus failure mode (gradient
-                # nearly orthogonal while the image looks fine) — the SDS
-                # training signal is the gradient, so check it too
+            if cfg.fastpath_grad_cos_threshold > 0:
+                # the gradient is the SDS training signal — check it
+                # unconditionally (round-5 change: it used to be skipped
+                # when the color RMSE already failed, so a mesh could be
+                # demoted to the ~20x-slower MC regime on a color bias
+                # whose gradients were perfectly aligned)
                 gcos = prerender_lib.fastpath_grad_cos(
                     self.renderer, self.material, self.data,
                     grad_pixels=cfg.fastpath_grad_pixels,
@@ -216,9 +232,9 @@ class RandomCameraDataModule(BaseObject):
                 else:
                     fallback = "MC without shadow visibility"
                 dreammat_tpu.warn(
-                    "fast-path check failed (color RMSE %.4f vs <= %.4f, "
-                    "grad-cos %s vs >= %.2f): dropping prefiltered tables, "
-                    "training will shade through %s",
+                    "fast-path check failed (relative color RMSE %.4f vs <= "
+                    "%.4f, grad-cos %s vs >= %.2f): dropping prefiltered "
+                    "tables, training will shade through %s",
                     rmse, cfg.fastpath_rmse_threshold,
                     "n/a" if gcos is None else f"{gcos:.3f}",
                     cfg.fastpath_grad_cos_threshold, fallback,
@@ -226,8 +242,8 @@ class RandomCameraDataModule(BaseObject):
                 self.data.table_spec = None
             else:
                 dreammat_tpu.info(
-                    "fast-path check: color RMSE %.4f (<= %.4f), grad-cos %s "
-                    "(>= %.2f) vs exact MC",
+                    "fast-path check: relative color RMSE %.4f (<= %.4f), "
+                    "grad-cos %s (>= %.2f) vs exact MC",
                     rmse, cfg.fastpath_rmse_threshold,
                     "n/a" if gcos is None else f"{gcos:.3f}",
                     cfg.fastpath_grad_cos_threshold,
@@ -241,6 +257,27 @@ class RandomCameraDataModule(BaseObject):
             self.data.depths = jnp.asarray(d)
             self.data.normals = jnp.asarray(n)
             dreammat_tpu.info("ingested reference Blender cache from %s", cfg.reference_cache_dir)
+        self._pixel_vis = None
+        if cfg.visibility_pixel_tables and self.data is not None:
+            import time as _time
+
+            from dreammat_tpu.ops import visibility as vis_lib
+
+            t0 = _time.time()
+            oct_res = getattr(self.renderer.cfg, "visibility_oct_res", 16)
+            tables = []
+            for gb in self.data.gbuffers:
+                pv = vis_lib.bake_pixel_visibility(
+                    self.renderer.bvh, gb.fg_pos, gb.fg_normal,
+                    oct_res=oct_res,
+                )
+                tables.append(pv.table.astype(jnp.float16))
+            self._pixel_vis = tables
+            mb = sum(int(np.prod(t.shape)) for t in tables) * 2 / 1e6
+            dreammat_tpu.info(
+                "per-pixel visibility tables (mc_pixel) for %d views "
+                "(%.0f MB) in %.1fs", len(tables), mb, _time.time() - t0,
+            )
         # per-view sort maps for the scatter-free field backward (the single
         # hottest train-step op on TPU — see ops/hashgrid.py view-static
         # encode). Built once per view; jitter fixed per view by default.
@@ -567,6 +604,8 @@ class RandomCameraDataModule(BaseObject):
             "gbuffer": self.data.gbuffers[view_id],
             "enc_maps": getattr(self, "_enc_maps", [None] * (view_id + 1))[view_id],
             "light_table": light_table,
+            "pixel_vis": (self._pixel_vis[view_id]
+                          if getattr(self, "_pixel_vis", None) else None),
             "condition_map": cond[None],  # [1,h,w,22]
             "elevation": jnp.asarray([cam.elevation_deg[view_id]]),
             "azimuth": jnp.asarray([cam.azimuth_deg[view_id]]),

@@ -748,8 +748,12 @@ def fastpath_residual(
     """Full-chain fast-path error on one view: shade_prefiltered (vertex
     split-sum tables) vs the exact MC estimator with per-ray BVH visibility
     (reference-parity, dreammat_material.py:615-677). Returns foreground
-    color RMSE. Cost: one exact-MC view (~tens of seconds at 512²) — run
-    once per mesh when data.fastpath_check is on."""
+    color RMSE RELATIVE to the exact image's RMS — an absolute threshold
+    silently scales with ``environment_scale`` (round-5 finding: apple at
+    env_scale 2.0 read abs-RMSE 0.0996 against a 0.08 threshold, tripping
+    the gate on a ~8%-relative deviation whose gradients were fine). Cost:
+    one exact-MC view (~tens of seconds at 512²) — run once per mesh when
+    ``data.fastpath_check`` is on."""
     import jax
 
     gb = data.gbuffers[view_id]
@@ -780,8 +784,10 @@ def fastpath_residual(
     material.set_baked_visibility(baked)
 
     valid = np.asarray(gb.fg_valid)
-    d = (np.asarray(pf["color"]) - np.asarray(mc["color"]))[valid]
-    return float(np.sqrt(np.mean(d ** 2)))
+    exact = np.asarray(mc["color"])[valid]
+    d = np.asarray(pf["color"])[valid] - exact
+    denom = float(np.sqrt(np.mean(exact ** 2))) + 1e-9
+    return float(np.sqrt(np.mean(d ** 2))) / denom
 
 
 def fastpath_grad_cos(

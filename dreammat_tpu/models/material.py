@@ -259,9 +259,13 @@ class DreamMatMaterial(BaseObject):
             vis = lookup_visibility(self.baked_visibility, tri_verts, bary, directions)
             lights = env * vis[..., None]
         elif self.ray_trace_fun is not None:
+            # stop_gradient: see shade_raytracing_streamed's raytrace
+            # branch — occlusion is piecewise-constant and the caster's
+            # scan must not be linearized (O(tris) vjp residuals)
+            sg = jax.lax.stop_gradient
             eps = 1e-5
-            o = points.reshape(-1, 3) + directions.reshape(-1, 3) * eps
-            d = directions.reshape(-1, 3)
+            o = sg(points.reshape(-1, 3) + directions.reshape(-1, 3) * eps)
+            d = sg(directions.reshape(-1, 3))
             _, _, depth, hit_mask = self.ray_trace_fun(o, d)
             occluded = hit_mask.reshape(shape)
             lights = jnp.where(occluded[..., None], 0.0, env)
@@ -425,8 +429,17 @@ class DreamMatMaterial(BaseObject):
                 vis = lookup_visibility(self.baked_visibility, tri_verts, bary, dirs)
                 lights = env * vis[..., None]
             elif self.ray_trace_fun is not None:
-                o = (pts[:, None] + dirs * 1e-5).reshape(-1, 3)
-                _, _, _, hit_mask = self.ray_trace_fun(o, dirs.reshape(-1, 3))
+                # occlusion is piecewise-constant in the sample direction
+                # (gradient zero a.e.; the reference's CUDA BVH is not
+                # differentiable either, raytracing_renderer.py:318-324).
+                # Without the stop_gradient the vjp of the caster's
+                # tri-chunk scan saves [rays, chunk] residuals per step —
+                # O(tris) HBM that OOMs one chip above ~9k tris. The env
+                # gather keeps its dirs gradient (the importance-sampling
+                # reparameterization term).
+                sg = jax.lax.stop_gradient
+                o = sg((pts[:, None] + dirs * 1e-5).reshape(-1, 3))
+                _, _, _, hit_mask = self.ray_trace_fun(o, sg(dirs.reshape(-1, 3)))
                 occluded = hit_mask.reshape(dirs.shape[:-1])
                 lights = jnp.where(occluded[..., None], 0.0, env)
             else:

@@ -517,9 +517,12 @@ class RaytraceRenderer(BaseObject):
         width: Optional[int] = None,
         light_table: Optional[jnp.ndarray] = None,
         enc_maps=None,
+        pixel_vis: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """The per-step differentiable path: field query + shade + scatter.
-        Jit-safe (all fixed shapes, rng explicit)."""
+        Jit-safe (all fixed shapes, rng explicit). ``pixel_vis`` [P, oct^2]
+        switches the MC estimator's visibility source from the per-vertex
+        barycentric lookup to the per-pixel baked table (mc_pixel)."""
         H, W = gb.mask.shape if height is None else (height, width)
         k_jit, k_shade = jax.random.split(rng)
 
@@ -540,10 +543,17 @@ class RaytraceRenderer(BaseObject):
                 geo_params, self._jitter_points(gb, k_jit)
             )
 
+        if pixel_vis is not None:
+            from dreammat_tpu.ops.visibility import PixelVisibility
+
+            vis_data = PixelVisibility(
+                pixel_vis, self.cfg.visibility_oct_res)
+        else:
+            vis_data = (gb.fg_tri, gb.fg_bary)
         shade_out, mat_reg = self.material(
             gb.fg_pos, feats, feats_jitter, gb.fg_viewdir, gb.fg_normal,
             env_id, k_shade, is_train=is_train, mask=gb.fg_valid,
-            vis_data=(gb.fg_tri, gb.fg_bary), light_table=light_table,
+            vis_data=vis_data, light_table=light_table,
         )
 
         maskf = gb.mask.reshape(-1, 1).astype(jnp.float32)

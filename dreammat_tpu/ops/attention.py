@@ -315,17 +315,18 @@ def _flash_backward(q, k, v, o, lse, g, block_q: int = 256, block_k: int = 512,
 
 def _fwd_blocks(n: int, m: int | None = None) -> tuple[int, int]:
     """Forward block sizes from the round-4 hardware re-sweep
-    (tools/tune_attention2.py — chained fori timing, bf16-MXU-operand
-    kernel, v5e, SD2.1 CFG-batch shapes, 2026-08-20): block_q=512 with
-    block_k covering the FULL K/V length (capped at 4096) wins both hot
-    self-attention shapes — (512,4096) 0.974 ms vs the round-3
-    (1024,512) pick's 1.116 ms at 4096 tokens, (512,1024) 0.119 vs
-    0.161 ms at 1024. With block_k == M the online softmax collapses to
-    a single pass (no rescale iterations); VMEM at (512,4096) is
-    ~13 MB (s fp32 8 MB + p bf16 4 MB + K/V 1 MB). The 4096 cap bounds
-    that footprint; _flash_forward clamps both blocks to the actual
-    sequence, and block_q rounds up to the 16-sublane tile so a ragged N
-    (e.g. 530) never hands Mosaic a non-tileable block shape."""
+    (tools/tune_attention2.py — chained fori timing, v5e, SD2.1 CFG-batch
+    shapes): block_q=512 with block_k covering the FULL K/V length
+    (capped at 4096) wins both hot self-attention shapes. With the
+    round-5 kernel (scale folded into q, dedicated single-pass branch
+    when block_k == M): (512,4096) 0.849 ms at 4096 tokens — 77% of the
+    ~98 TFLOP/s ceiling the D=64 contraction leaves on the 128-wide MXU
+    — and (512,1024) 0.041 ms at 1024 (2026-08-20). VMEM at (512,4096)
+    is ~13 MB (s fp32 8 MB + p bf16 4 MB + K/V 1 MB); the 4096 cap
+    bounds that footprint; _flash_forward clamps both blocks to the
+    actual sequence, and both round up to the 16-sublane tile so a
+    ragged N (e.g. 530) never hands Mosaic a non-tileable block
+    shape."""
     bq = min(512, max(n, 128))
     bk = min(4096, max(m if m is not None else n, 128))
     return -(-bq // 16) * 16, bk

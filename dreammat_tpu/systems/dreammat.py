@@ -115,7 +115,7 @@ class DreamMat(BaseObject):
 
         def train_step(state, guidance_params, gbuffer, condition_map, env_id,
                        elevation, azimuth, camera_distances, rng, light_table=None,
-                       enc_maps=None):
+                       enc_maps=None, pixel_vis=None):
             # guidance_params passed as an argument — NOT closed over — so the
             # ~5 GB of frozen SD weights are jit inputs, not baked constants
             step = state["step"]
@@ -125,6 +125,7 @@ class DreamMat(BaseObject):
                 out = renderer.shade_view(
                     geo_params, gbuffer, env_id, k_render, is_train=True,
                     light_table=light_table, enc_maps=enc_maps,
+                    pixel_vis=pixel_vis,
                 )
                 guidance_out = guidance(
                     guidance_params,
@@ -169,7 +170,7 @@ class DreamMat(BaseObject):
             state, self.guidance.params, batch["gbuffer"], batch["condition_map"],
             batch["env_id"], batch["elevation"], batch["azimuth"],
             batch["camera_distances"], rng, batch.get("light_table"),
-            batch.get("enc_maps"),
+            batch.get("enc_maps"), batch.get("pixel_vis"),
         )
 
     def make_render_fn(self):

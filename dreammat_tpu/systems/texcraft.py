@@ -46,7 +46,7 @@ class TexCraft(DreamMat):
 
         def train_step(state, guidance_params, gbuffer, condition_map, env_id,
                        elevation, azimuth, camera_distances, rng, light_table=None,
-                       enc_maps=None):
+                       enc_maps=None, pixel_vis=None):
             step = state["step"]
             k_render, k_guide = jax.random.split(rng)
 
@@ -54,6 +54,7 @@ class TexCraft(DreamMat):
                 out = renderer.shade_view(
                     geo_params, gbuffer, env_id, k_render, is_train=True,
                     light_table=light_table, enc_maps=enc_maps,
+                    pixel_vis=pixel_vis,
                 )
                 # live conditions from this render (texcraft.py:103-104):
                 # channel 0 = depth, 1:4 = normal — the slices the guidance's

@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 
 def main(argv=None) -> None:
@@ -119,8 +120,12 @@ def main(argv=None) -> None:
             val_check_interval=cfg.trainer.val_check_interval,
             checkpoint_every=cfg.checkpoint.every_n_train_steps,
         )
+        t_test = time.time()
         system.test(state, datamodule, cfg.trial_dir, cfg.trainer.max_steps)
+        dreammat_tpu.info("test render: %.1fs", time.time() - t_test)
+        t_exp = time.time()
         system.export(state, cfg.trial_dir)
+        dreammat_tpu.info("export: %.1fs", time.time() - t_exp)
     elif args.validate:
         assert state is not None, "--validate requires --resume"
         datamodule.setup()

@@ -414,6 +414,8 @@ def main():
                     "JAX_PLATFORMS=axon via sitecustomize, so the env var "
                     "alone cannot select cpu; this goes through jax.config "
                     "before backend init)")
+    ap.add_argument("--out-json", default=None,
+                    help="append every per-(mesh,oct,env) row to this JSONL")
     args = ap.parse_args()
 
     if args.platform:
@@ -443,6 +445,14 @@ def main():
         all_rows += run(name, m, args.oct, args.envs, args.res, args.mc_samples,
                         grad_pixels=args.grad_pixels,
                         supersample=args.supersample, subdiv=args.subdiv)
+        if args.out_json:
+            import json as _json
+
+            with open(args.out_json, "a") as fh:
+                for r in [r for r in all_rows if r["mesh"] == name]:
+                    fh.write(_json.dumps(
+                        {k: (float(v) if hasattr(v, "item") else v)
+                         for k, v in r.items()}) + "\n")
 
     # markdown summary: per (mesh, oct_res) averaged over envs/views
     print("\n| mesh | oct_res | RMSE tables | grad cos tables | RMSE mc_baked "
