@@ -234,7 +234,9 @@ class RandomCameraDataModule(BaseObject):
                 dreammat_tpu.warn(
                     "fast-path check failed (relative color RMSE %.4f vs <= "
                     "%.4f, grad-cos %s vs >= %.2f): dropping prefiltered "
-                    "tables, training will shade through %s",
+                    "tables, training will shade through %s (~20x slower "
+                    "steps; data.visibility_pixel_tables=true upgrades the "
+                    "fallback to per-pixel visibility at the same step cost)",
                     rmse, cfg.fastpath_rmse_threshold,
                     "n/a" if gcos is None else f"{gcos:.3f}",
                     cfg.fastpath_grad_cos_threshold, fallback,

@@ -78,6 +78,33 @@ def geometry_ggx_smith_correlated(NoV, NoL, roughness_sq):
     return 1.0 / (1.0 + lam(alpha_sq, NoV) + lam(alpha_sq, NoL))
 
 
+def occlusion_nograd(trace_fn, o, d):
+    """Shadow-ray hit mask as a vjp BLACK BOX.
+
+    Occlusion is piecewise-constant in the ray (gradient zero almost
+    everywhere; the reference's CUDA BVH is not differentiable either,
+    raytracing_renderer.py:318-324). stop_gradient on the inputs is not
+    enough: under a differentiated outer scan XLA still saved per-step
+    caster intermediates (round-5 mc-raytrace train step asked for a
+    32 GB [steps, rays, tri_chunk, 3] residual). custom_vjp guarantees
+    the caster is never linearized — backward returns zero cotangents."""
+
+    @jax.custom_vjp
+    def f(o, d):
+        _, _, _, hit = trace_fn(o, d)
+        return hit
+
+    def fwd(o, d):
+        return f(o, d), (o.shape, o.dtype, d.shape, d.dtype)
+
+    def bwd(res, ct):
+        osh, odt, dsh, ddt = res
+        return jnp.zeros(osh, odt), jnp.zeros(dsh, ddt)
+
+    f.defvjp(fwd, bwd)
+    return f(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d))
+
+
 @dreammat_tpu.register("dreammat-material")
 class DreamMatMaterial(BaseObject):
     @dataclass
@@ -259,14 +286,10 @@ class DreamMatMaterial(BaseObject):
             vis = lookup_visibility(self.baked_visibility, tri_verts, bary, directions)
             lights = env * vis[..., None]
         elif self.ray_trace_fun is not None:
-            # stop_gradient: see shade_raytracing_streamed's raytrace
-            # branch — occlusion is piecewise-constant and the caster's
-            # scan must not be linearized (O(tris) vjp residuals)
-            sg = jax.lax.stop_gradient
             eps = 1e-5
-            o = sg(points.reshape(-1, 3) + directions.reshape(-1, 3) * eps)
-            d = sg(directions.reshape(-1, 3))
-            _, _, depth, hit_mask = self.ray_trace_fun(o, d)
+            o = points.reshape(-1, 3) + directions.reshape(-1, 3) * eps
+            d = directions.reshape(-1, 3)
+            hit_mask = occlusion_nograd(self.ray_trace_fun, o, d)
             occluded = hit_mask.reshape(shape)
             lights = jnp.where(occluded[..., None], 0.0, env)
         else:
@@ -429,17 +452,12 @@ class DreamMatMaterial(BaseObject):
                 vis = lookup_visibility(self.baked_visibility, tri_verts, bary, dirs)
                 lights = env * vis[..., None]
             elif self.ray_trace_fun is not None:
-                # occlusion is piecewise-constant in the sample direction
-                # (gradient zero a.e.; the reference's CUDA BVH is not
-                # differentiable either, raytracing_renderer.py:318-324).
-                # Without the stop_gradient the vjp of the caster's
-                # tri-chunk scan saves [rays, chunk] residuals per step —
-                # O(tris) HBM that OOMs one chip above ~9k tris. The env
-                # gather keeps its dirs gradient (the importance-sampling
-                # reparameterization term).
-                sg = jax.lax.stop_gradient
-                o = sg((pts[:, None] + dirs * 1e-5).reshape(-1, 3))
-                _, _, _, hit_mask = self.ray_trace_fun(o, sg(dirs.reshape(-1, 3)))
+                # vjp black box (see occlusion_nograd) — the env gather
+                # keeps its dirs gradient (the importance-sampling
+                # reparameterization term), only the hit test is opaque
+                o = (pts[:, None] + dirs * 1e-5).reshape(-1, 3)
+                hit_mask = occlusion_nograd(
+                    self.ray_trace_fun, o, dirs.reshape(-1, 3))
                 occluded = hit_mask.reshape(dirs.shape[:-1])
                 lights = jnp.where(occluded[..., None], 0.0, env)
             else:

@@ -150,13 +150,26 @@ def bake_vertex_visibility(
     dirs = oct_uv_to_dir(uv)  # [N2,3]
     N2 = N * N
 
-    origins = (v_pos + v_nrm * eps)[:, None, :] + dirs[None, :, :] * eps  # [V,N2,3]
-    rays_o = origins.reshape(-1, 3)
-    rays_d = jnp.broadcast_to(dirs[None], (V, N2, 3)).reshape(-1, 3)
-    out = bvh_lib.cast_rays_chunked(bvh, rays_o, rays_d, chunk=chunk)
-    vis = (~out["hit"]).astype(jnp.float32).reshape(V, oct_res, s, oct_res, s)
-    vis = vis.mean(axis=(2, 4)).reshape(V, oct_res * oct_res).astype(jnp.float16)
-    return BakedVisibility(table=vis, oct_res=oct_res)
+    # point-chunked: a per-PIXEL bake at flagship scale is ~640k points x
+    # 256 bins = 164M rays — one monolithic cast's Morton-reorder sort
+    # workspace blew the 16 GB compile budget (round-5 mc-pixel regime).
+    # Slices keep each cast at <= point_chunk*N2 rays.
+    point_chunk = max(1, (chunk * 64) // N2)
+    tables = []
+    for i in range(0, V, point_chunk):
+        vp = v_pos[i:i + point_chunk]
+        vn = v_nrm[i:i + point_chunk]
+        c = vp.shape[0]
+        origins = (vp + vn * eps)[:, None, :] + dirs[None, :, :] * eps
+        rays_o = origins.reshape(-1, 3)
+        rays_d = jnp.broadcast_to(dirs[None], (c, N2, 3)).reshape(-1, 3)
+        out = bvh_lib.cast_rays_chunked(bvh, rays_o, rays_d, chunk=chunk)
+        vis = (~out["hit"]).astype(jnp.float32).reshape(c, oct_res, s, oct_res, s)
+        tables.append(
+            vis.mean(axis=(2, 4)).reshape(c, oct_res * oct_res).astype(jnp.float16)
+        )
+    table = tables[0] if len(tables) == 1 else jnp.concatenate(tables)
+    return BakedVisibility(table=table, oct_res=oct_res)
 
 
 def self_occlusion_fraction(

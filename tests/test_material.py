@@ -161,3 +161,36 @@ def test_smoothness_reg_zero_when_equal():
     # (dreammat_material.py:116-117), so perturb all channels
     b = a + 0.5
     assert float(material_lib.material_smoothness_grad(a, b)) > 0
+
+
+def test_occlusion_nograd_black_box():
+    """occlusion_nograd must (a) return the same hit mask as the raw
+    tracer, (b) contribute ZERO gradient through its inputs, and (c) keep
+    a grad through code paths that use it from saving tracer internals —
+    the round-5 mc-raytrace OOM (32 GB of caster vjp residuals)."""
+    import jax
+
+    calls = []
+
+    def fake_trace(o, d):
+        calls.append(1)
+        # occluded where direction z < 0
+        hit = d[:, 2] < 0.0
+        z = jnp.zeros((o.shape[0], 3))
+        return z, z, jnp.zeros((o.shape[0], 1)), hit
+
+    o = jnp.zeros((8, 3))
+    d = uops.safe_normalize(jax.random.normal(jax.random.PRNGKey(0), (8, 3)))
+    hit = material_lib.occlusion_nograd(fake_trace, o, d)
+    assert np.array_equal(np.asarray(hit), np.asarray(d[:, 2] < 0.0))
+
+    def loss(d):
+        h = material_lib.occlusion_nograd(fake_trace, o, d)
+        # downstream use: mask an energy that DOES depend on d
+        return jnp.sum(jnp.where(h, 0.0, jnp.sum(d**2, -1)))
+
+    g = jax.grad(loss)(d)
+    # gradient flows only through the where's non-masked branch (2*d),
+    # never through the tracer itself
+    expect = np.where(np.asarray(d[:, 2] < 0.0)[:, None], 0.0, 2 * np.asarray(d))
+    assert np.allclose(np.asarray(g), expect, atol=1e-5)

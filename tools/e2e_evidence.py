@@ -46,6 +46,9 @@ def main():
         "--train",  # the train branch runs test + export afterwards
         "system.prompt_processor.prompt=a red apple",
         f"system.geometry.shape_init=mesh:{args.mesh}",
+        "system.geometry.shape_init_params=0.7",
+        "system.geometry.shape_init_mesh_up=+y",
+        "system.geometry.shape_init_mesh_front=+z",
         f"trainer.max_steps={args.steps}",
         f"data.fix_view_num={args.views}", "data.fix_env_num=2",
         f"data.width={H}", f"data.height={H}",
