@@ -98,3 +98,45 @@ def test_pixel_vis_changes_shading_on_occluder(pixel_run):
     lit = float(jnp.mean(out_lit["comp_rgb"]))
     dark = float(jnp.mean(out_dark["comp_rgb"]))
     assert lit > dark, (lit, dark)
+
+
+def test_mc_raytrace_training_two_steps(tmp_path):
+    """Exact-visibility (per-step BVH shadow rays) training regime at tiny
+    scale: the full train step must run and move params. (At flagship
+    512-res this regime currently faults the device — README regime
+    table; this pins the code path itself so the open issue is isolated
+    to scale, not logic.)"""
+    import jax
+
+    from dreammat_tpu.models.mesh import make_icosphere
+    from dreammat_tpu.utils.config import load_config
+
+    import dreammat_tpu
+
+    m = make_icosphere(1)
+    obj = tmp_path / "sphere.obj"
+    with open(obj, "w") as f:
+        for v in np.asarray(m.v_pos):
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for tri in np.asarray(m.t_pos_idx):
+            f.write(f"f {tri[0]+1} {tri[1]+1} {tri[2]+1}\n")
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "dreammat_tiny.yaml"),
+        cli_args=[
+            "system.prompt_processor.prompt=a red apple",
+            f"system.geometry.shape_init=mesh:{obj}",
+            f"exp_root_dir={tmp_path}/outputs",
+            "trainer.max_steps=2",
+            "system.renderer.visibility_mode=raytrace",
+        ],
+    )
+    system = dreammat_tpu.find(cfg.system_type)(cfg.system)
+    dm = dreammat_tpu.find(cfg.data_type)(cfg.data, system.renderer, system.material)
+    dm.setup()
+    dm.data.table_spec = None  # MC estimator with per-step shadow rays
+    state = system.fit(dm, max_steps=2, seed=0, trial_dir=cfg.trial_dir,
+                       val_check_interval=0, checkpoint_every=0, log_every=1)
+    assert int(state["step"]) == 2
+    params0 = system.geometry.init(jax.random.PRNGKey(0))
+    diff = float(abs(np.asarray(state["geo"]["table"]) - np.asarray(params0["table"])).sum())
+    assert 0.0 < diff < 1e6, diff
